@@ -1,0 +1,76 @@
+"""Global precision / device policy for the TPU-native plate framework.
+
+The reference pins JAX to CPU + float64 at import time
+(/root/reference/source/jax_plate/Sparse.py:16-17).  We instead keep the
+platform free (TPU first-class) and make precision a *policy*:
+
+* ``x64``  — float64 / complex128 everywhere.  Default on CPU; exact parity
+  with the reference's UMFPACK arithmetic.
+* ``x32``  — float32 / complex64.  Native TPU speed; solves use iterative
+  refinement in the solver layer to recover ~1e-6 relative accuracy.
+
+The policy only selects *dtypes handed to the compute path*; modules query it
+lazily, so it can be flipped per-process before building a Problem.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+# float64 must be enabled process-wide for the x64 policy to mean anything.
+# It is harmless under the x32 policy (arrays are created as f32 explicitly).
+if os.environ.get("PIP_TPU_DISABLE_X64", "0") != "1":
+    jax.config.update("jax_enable_x64", True)
+
+
+@dataclass(frozen=True)
+class Precision:
+    """Dtype bundle used across assembly and solves."""
+
+    real: np.dtype
+    complex: np.dtype
+    index: np.dtype
+
+    @property
+    def name(self) -> str:
+        return "x64" if self.real == np.dtype(np.float64) else "x32"
+
+
+X64 = Precision(np.dtype(np.float64), np.dtype(np.complex128), np.dtype(np.int32))
+X32 = Precision(np.dtype(np.float32), np.dtype(np.complex64), np.dtype(np.int32))
+
+_POLICY: Precision | None = None
+
+
+def default_precision() -> Precision:
+    """Resolve the active precision policy.
+
+    Priority: explicit ``set_precision`` call > ``PIP_TPU_PRECISION`` env var >
+    platform default (x64 on CPU, x32 on TPU/GPU).
+    """
+    global _POLICY
+    if _POLICY is not None:
+        return _POLICY
+    env = os.environ.get("PIP_TPU_PRECISION")
+    if env in ("x64", "f64", "float64"):
+        return X64
+    if env in ("x32", "f32", "float32"):
+        return X32
+    platform = jax.default_backend()
+    return X64 if platform == "cpu" else X32
+
+
+def set_precision(name: str) -> Precision:
+    global _POLICY
+    if name in ("x64", "f64", "float64"):
+        _POLICY = X64
+    elif name in ("x32", "f32", "float32"):
+        _POLICY = X32
+    elif name in (None, "auto"):
+        _POLICY = None
+    else:
+        raise ValueError(f"Unknown precision policy {name!r}; use 'x64'/'x32'/'auto'.")
+    return default_precision()

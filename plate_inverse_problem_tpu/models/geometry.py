@@ -1,0 +1,204 @@
+"""Plate geometry: template / file -> static mesh + plate parameters.
+
+TPU-native re-design of the reference's ``jax_plate/Geometry.py`` (edp-file
+templating + regex substitution, Geometry.py:28-238).  The same template names
+and accelerometer-position conventions are kept, but instead of patching
+FreeFEM scripts we build the mesh directly (``mesh.generators``).  A path to a
+FreeFEM ``.edp`` template is still accepted — its ``real <name> = <value>;``
+parameter lines are parsed (the reverse of the reference's regex substitution,
+Geometry.py:191-222) and fed to our mesher; a ``.msh`` file gives exact-mesh
+import.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from ..mesh import TriangleMesh, generate_plate_mesh, load_msh
+from .accelerometer import Accelerometer
+
+TEMPLATES = ["sh_r", "sh_i", "symm"]
+
+
+@dataclass
+class GeometryParams:
+    """Parameters of a simple rectangular plate (reference Geometry.py:13-21)."""
+
+    length: float
+    width: float
+    height: float
+    accel_x: float = None
+    accel_y: float = None
+
+
+def _parse_edp_params(text: str) -> dict[str, float]:
+    """Extract ``real <name> = <value>;`` parameter lines from an .edp script."""
+    out: dict[str, float] = {}
+    for m in re.finditer(r"^\s*real\s+(\w+)\s*=\s*([^;]+);", text, re.MULTILINE):
+        name, expr = m.group(1), m.group(2).strip()
+        try:
+            # allow simple arithmetic like '100*1e-3' or 'Ly/2 - rAccel'
+            out[name] = float(eval(expr, {"__builtins__": {}}, dict(out)))
+        except Exception:
+            continue
+    return out
+
+
+class Geometry:
+    """Plate geometry and mesh factory.
+
+    Available templates (conventions follow reference Geometry.py:41-48):
+
+    1) 'sh_r' — accelerometer at a custom position (needs accel_x, accel_y;
+       accel_y is measured from the top edge, Geometry.py:92-94).
+    2) 'sh_i' — accelerometer tangent in a corner of the plate.
+    3) 'symm' — accelerometer on the width symmetry line (needs accel_x only).
+
+    The clamped Dirichlet border (label 1) is the short side at x == length.
+    """
+
+    def __init__(
+        self,
+        edp_or_template: str | os.PathLike,
+        accelerometer: Accelerometer = None,
+        params: GeometryParams = None,
+        *,
+        height: float = None,
+        mesh: TriangleMesh = None,
+        ny: int | None = None,
+        refine: float = 1.0,
+        export_vtk: bool = False,  # accepted for API parity; VTK export is a no-op
+    ):
+        self.template = None
+        self._mesh: TriangleMesh | None = None
+        self.current_file = None
+
+        if mesh is not None:
+            # direct mesh injection (power-user path, no reference analog)
+            self._mesh = mesh
+            if params is None and height is None:
+                raise ValueError("Height must be given with an explicit mesh.")
+            if params is None:
+                params = GeometryParams(None, None, height, None, None)
+
+        elif edp_or_template in TEMPLATES:
+            if params is None:
+                raise ValueError(
+                    "`params` argument cannot be None when using a template."
+                )
+            if accelerometer is None:
+                raise ValueError(
+                    "`accelerometer` argument cannot be None when using a template."
+                )
+            self.template = edp_or_template
+
+            if edp_or_template == "sh_r":
+                if None in (params.accel_x, params.accel_y):
+                    raise ValueError(
+                        "Both coordinates of accelerometer should be specified "
+                        "for the template sh_r."
+                    )
+                # convert from 'distance below top edge' to centred frame
+                # (reference Geometry.py:92-94)
+                params.accel_y = params.width / 2 - params.accel_y
+            elif edp_or_template == "sh_i":
+                if params.accel_y is not None or params.accel_x is not None:
+                    raise ValueError(
+                        "Both coordinates of accelerometer should be None for "
+                        "the template sh_i."
+                    )
+                params.accel_x = accelerometer.radius
+                params.accel_y = params.width / 2 - accelerometer.radius
+            elif edp_or_template == "symm":
+                if params.accel_y is not None:
+                    raise ValueError(
+                        "`y` coordinate of the accelerometer should be None "
+                        "for the template symm."
+                    )
+                if params.accel_x is None:
+                    raise ValueError(
+                        "`x` coordinate of the accelerometer should not be "
+                        "None for the template symm."
+                    )
+                params.accel_y = 0.0
+
+        elif isinstance(edp_or_template, (str, os.PathLike)) and os.path.exists(
+            edp_or_template
+        ):
+            ext = os.path.splitext(edp_or_template)[1]
+            self.current_file = str(edp_or_template)
+            if ext == ".msh":
+                self._mesh = load_msh(self.current_file)
+                if params is None and height is None:
+                    raise ValueError(
+                        "Height of the plate should be specified via `params` "
+                        "arg or `height` kwarg when loading from a file."
+                    )
+                if params is None:
+                    params = GeometryParams(None, None, height, None, None)
+            elif ext == ".edp":
+                with open(edp_or_template, "r") as fh:
+                    vals = _parse_edp_params(fh.read())
+                if params is None and height is None:
+                    raise ValueError(
+                        "Height of the plate should be specified via `params` "
+                        "arg or `height` kwarg when loading from a file."
+                    )
+                if params is None:
+                    params = GeometryParams(
+                        vals.get("Lx"), vals.get("Ly"), height,
+                        vals.get("offsetAccelX"), vals.get("offsetAccelY"),
+                    )
+                self.template = "sh_r"
+                self._edp_vals = vals
+            else:
+                raise ValueError(f"Unsupported geometry file extension {ext!r}.")
+        else:
+            if os.path.splitext(str(edp_or_template))[1] in (".edp", ".msh"):
+                raise FileNotFoundError(f"Could not find file {edp_or_template}.")
+            raise ValueError(
+                f"Could not find template {edp_or_template}. Valid options "
+                f"are: {TEMPLATES}."
+            )
+
+        self.length = params.length
+        self.width = params.width
+        self.height = params.height
+        self.accel_x = params.accel_x
+        self.accel_y = params.accel_y
+        self.accel_r = accelerometer.radius if accelerometer is not None else None
+        self._ny = ny
+        self._refine = refine
+
+    # ------------------------------------------------------------------
+
+    def get_mesh(self) -> TriangleMesh:
+        """Build (or return the cached) static mesh."""
+        if self._mesh is None:
+            if self.template is None:
+                raise RuntimeError("Geometry has neither a template nor a mesh.")
+            self._mesh = generate_plate_mesh(
+                self.template,
+                self.length,
+                self.width,
+                self.accel_r,
+                accel_x=self.accel_x,
+                accel_y=self.accel_y,
+                ny=self._ny,
+                refine=self._refine,
+            )
+        return self._mesh
+
+    @property
+    def test_point(self) -> tuple[float, float]:
+        """AFC measurement point == accelerometer centre (symm.edp:13-14)."""
+        return (self.accel_x, self.accel_y)
+
+    def __str__(self):
+        d = {
+            k: v
+            for k, v in self.__dict__.items()
+            if not k.startswith("_") and k != "current_file"
+        }
+        return f"Geometry with {d}."

@@ -1,0 +1,695 @@
+"""Constitutive models: parameter vector theta (+ frequency omega) -> complex moduli.
+
+TPU-native re-design of the reference's ``jax_plate/Material.py``
+(/root/reference/source/jax_plate/Material.py:25-994).  Same anisotropy-type
+registry (ATYPES), same parameter orders, same public surface:
+
+* ``get_D_transform(h)``  -> f(theta, omega) -> D_ij, order [11,12,16,22,26,66]
+  (Material.py:124-145)
+* ``get_ABD_transform(h)``-> f(theta, omega) -> (A_ij, B_ij, D_ij)
+  (Material.py:101-122)
+* constraint export for scipy optimizers (Material.py:205-264)
+* JSON persistence + ``get_material`` factory (Material.py:331-354, 888-994)
+
+Differences by design:
+
+* Classical lamination theory for the SOL families is computed with a
+  *closed-form numpy* Q->(A,B,D) linear map instead of sympy symbolic algebra
+  (reference Material.py:660-741 builds the same 6x6 matrices symbolically).
+  The map is linear, so we evaluate it on the 6 canonical basis vectors.
+* Transforms are pure functions of ``jnp`` arrays, jit/vmap/grad-safe, with no
+  Python closures over mutable state.
+"""
+from __future__ import annotations
+
+import abc
+import json
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+import numpy as np
+
+from ..utils.paths import get_package_dir
+
+ATYPES = {
+    "isotropic": {"E", "G", "beta"},
+    "orthotropic": {"E1", "E2", "G12", "nu12", "beta"},
+    # each modulus has its own loss factor
+    "orthotropic_d4": {"E1", "E2", "G12", "nu12", "b1", "b2", "b3", "b4"},
+    # simple orthotropic laminate: identical unidirectional layers;
+    # angles in DEGREES, counter-clockwise, starting from the lowest layer
+    "sol": {"E1", "E2", "G12", "nu12", "beta", "angles"},
+    "symm_sol": {"E1", "G12", "nu12", "beta", "angles"},
+}
+
+MODULI_ORDER = ("11", "12", "16", "22", "26", "66")
+
+
+# ---------------------------------------------------------------------------
+# Classical lamination theory, closed form (replaces sympy at Material.py:660-741)
+# ---------------------------------------------------------------------------
+
+def _qbar_components(Q6: np.ndarray, theta_deg: float) -> np.ndarray:
+    """Rotate a lamina stiffness Q (Voigt order [11,12,16,22,26,66]) by theta.
+
+    Uses the same rotation convention as the reference (Material.py:670-680):
+    ``m = cos t``, ``n = -sin t`` with T = [[m^2, n^2, -2mn],
+                                           [n^2, m^2,  2mn],
+                                           [ mn, -mn, m^2-n^2]]
+    and Qbar = T Q T^T.  Returns Qbar in the same 6-vector Voigt order.
+    """
+    Q = np.array(
+        [
+            [Q6[0], Q6[1], Q6[2]],
+            [Q6[1], Q6[3], Q6[4]],
+            [Q6[2], Q6[4], Q6[5]],
+        ]
+    )
+    t = np.deg2rad(theta_deg)
+    m = np.cos(t)
+    n = -np.sin(t)
+    mn = m * n
+    T = np.array(
+        [
+            [m * m, n * n, -2 * mn],
+            [n * n, m * m, 2 * mn],
+            [mn, -mn, m * m - n * n],
+        ]
+    )
+    QT = T @ Q @ T.T
+    return np.array([QT[0, 0], QT[0, 1], QT[0, 2], QT[1, 1], QT[1, 2], QT[2, 2]])
+
+
+def q_to_abd_matrices(angles: np.ndarray, h: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the three 6x6 real matrices mapping a lamina Q-vector to laminate
+    A/B/D vectors (Voigt order [11,12,16,22,26,66]).
+
+    Equal-thickness plies spanning z in [-h/2, h/2]; A = sum Qbar_i dz,
+    B = 1/2 sum Qbar_i d(z^2), D = 1/3 sum Qbar_i d(z^3) — matching the
+    reference's symbolic construction (Material.py:690-741) evaluated at h.
+    """
+    angles = np.asarray(angles, dtype=np.float64)
+    nl = angles.size
+    zs = np.linspace(-h / 2.0, h / 2.0, nl + 1)
+    dz1 = np.diff(zs)
+    dz2 = np.diff(zs**2)
+    dz3 = np.diff(zs**3)
+
+    MA = np.zeros((6, 6))
+    MB = np.zeros((6, 6))
+    MD = np.zeros((6, 6))
+    eye = np.eye(6)
+    for k in range(6):
+        for i in range(nl):
+            qb = _qbar_components(eye[k], angles[i])
+            MA[:, k] += qb * dz1[i]
+            MB[:, k] += qb * dz2[i] / 2.0
+            MD[:, k] += qb * dz3[i] / 3.0
+    return MA, MB, MD
+
+
+# ---------------------------------------------------------------------------
+# Material base class
+# ---------------------------------------------------------------------------
+
+class Material(abc.ABC):
+    """Interface class for all materials (reference Material.py:35-354).
+
+    Attributes
+    ----------
+    density : float
+        Material density in kg/m^3.
+    is_mps : bool
+        "Is midplane symmetric" — selects the pure-bending fast path when no
+        accelerometer is attached (Problem selection logic).
+    """
+
+    density: float
+    is_mps: bool
+
+    def get_parameters(self) -> jax.Array | None:
+        if self.has_params:
+            return jnp.array(self._get_param_tuple())
+        return None
+
+    @abc.abstractmethod
+    def _get_param_tuple(self) -> tuple:
+        ...
+
+    @property
+    def has_params(self) -> bool:
+        return None not in self._get_param_tuple()
+
+    @abc.abstractmethod
+    def get_ABD_transform(self, h: float) -> Callable:
+        """f(theta, omega) -> (A, B, D) complex 6-vectors, order [11,12,16,22,26,66]."""
+
+    @abc.abstractmethod
+    def get_D_transform(self, h: float) -> Callable:
+        """f(theta, omega) -> D complex 6-vector, order [11,12,16,22,26,66]."""
+
+    # transform alias kept for reference API parity (used at Problem.py:568)
+    def get_transform(self, h: float) -> Callable:
+        return self.get_D_transform(h)
+
+    @property
+    def scalar_loss_factor(self) -> bool:
+        """True when the complex moduli are (1 + i*beta) times a frequency-
+        independent real vector — enables the exact modal solver fast path."""
+        return True
+
+    # ----- constraints ----------------------------------------------------
+
+    @staticmethod
+    def _get_nonlin_constr(scaling_params=1.0):
+        return None
+
+    @staticmethod
+    def _get_lin_constr(scaling_params=1.0):
+        return None
+
+    @classmethod
+    def get_constraints(cls, scaling_params: np.ndarray | None = None):
+        """scipy constraints with JAX-computed jacobian/hessian
+        (reference Material.py:205-264)."""
+        import scipy.optimize
+
+        if scaling_params is None:
+            scaling_params = 1.0
+        else:
+            scaling_params = scaling_params.copy()
+
+        res_nonlin = cls._get_nonlin_constr(scaling_params)
+        if res_nonlin is not None:
+            fun, lb, ub = res_nonlin
+            fun_jac = jax.jit(jax.jacobian(fun))
+
+            def dot_func(x, v):
+                return jnp.dot(fun(x), v)
+
+            fun_hess = jax.jit(jax.hessian(dot_func))
+            res_nonlin = scipy.optimize.NonlinearConstraint(
+                fun, lb, ub, jac=fun_jac, hess=fun_hess
+            )
+
+        res_lin = cls._get_lin_constr(scaling_params)
+        if res_lin is not None:
+            A, lb, ub = res_lin
+            res_lin = scipy.optimize.LinearConstraint(A, lb, ub)
+
+        if res_nonlin is None:
+            return res_lin
+        if res_lin is None:
+            return res_nonlin
+        return [res_lin, res_nonlin]
+
+    @classmethod
+    def check_parameters(cls, params: np.ndarray, scaling_params=1.0) -> bool:
+        """Validity check of a parameter vector (reference Material.py:266-308)."""
+        res_nonlin = cls._get_nonlin_constr(scaling_params)
+        if res_nonlin is None:
+            nonlin_check = True
+        else:
+            fun, lb, ub = res_nonlin
+            vals = np.array(fun(params))
+            nonlin_check = bool(np.all((lb <= vals) & (vals <= ub)))
+
+        res_lin = cls._get_lin_constr(scaling_params)
+        if res_lin is None:
+            lin_check = True
+        else:
+            A, lb, ub = res_lin
+            vals = A @ np.asarray(params)
+            lin_check = bool(np.all((lb <= vals) & (vals <= ub)))
+
+        return lin_check and nonlin_check
+
+    # ----- persistence ----------------------------------------------------
+
+    def get_save_dict(self) -> dict:
+        d = {}
+        for k, v in self.__dict__.items():
+            if k.startswith("_"):
+                continue
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            d[k] = v
+        return d
+
+    def __str__(self):
+        s = f"{self.__class__.__name__} material with\n"
+        for k, v in self.get_save_dict().items():
+            s += f"{k} = {v}\n"
+        return s.rstrip()
+
+    def save_to_file(self, material_name: str) -> None:
+        """Write ``materials/<name>.json`` (reference Material.py:331-354)."""
+        folder = os.path.join(get_package_dir(), "materials")
+        os.makedirs(folder, exist_ok=True)
+        d = self.get_save_dict()
+        d.setdefault("atype", _ATYPE_OF_CLASS[type(self).__name__])
+        with open(os.path.join(folder, material_name + ".json"), "w") as file:
+            json.dump(d, file, indent=4)
+
+
+# ---------------------------------------------------------------------------
+# Concrete materials
+# ---------------------------------------------------------------------------
+
+def _isotropic_D(params, _h):
+    E, G, beta = params[0], params[1], params[2]
+    nu = E / (2.0 * G) - 1.0
+    D = E * _h**3 / (12.0 * (1.0 - nu**2))
+    return jnp.array([D, nu * D, 0.0, D, 0.0, D * (1 - nu) / 2]) * (1 + 1j * beta)
+
+
+class Isotropic(Material):
+    """theta = [E, G, beta]; D = E h^3 / 12(1-nu^2), nu = E/2G - 1
+    (reference Material.py:357-433)."""
+
+    def __init__(self, density, E=None, G=None, beta=None):
+        self.density = density
+        self.is_mps = True
+        self.E = E
+        self.G = G
+        self.beta = beta
+
+    def _get_param_tuple(self):
+        return (self.E, self.G, self.beta)
+
+    def get_D_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            return _isotropic_D(params, _h)
+
+        return Partial(_transform, _h=h)
+
+    def get_ABD_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            E, G, beta = params[0], params[1], params[2]
+            nu = E / (2.0 * G) - 1.0
+            A = E * _h / (1 - nu**2)
+            D = A * _h**2 / 12.0
+            arr = jnp.array([1.0, nu, 0.0, 1.0, 0.0, (1 - nu) / 2]) * (1 + 1j * beta)
+            return A * arr, jnp.zeros_like(arr), D * arr
+
+        return Partial(_transform, _h=h)
+
+    @staticmethod
+    def _get_lin_constr(scaling_params=1.0):
+        # E, G, beta > 0; 2G < E < 3G  (0 < nu < 0.5); Material.py:412-433
+        A = np.eye(5, 3)
+        A[3, 0] = 1.0
+        A[4, 0] = -1.0
+        A[3, 1] = -2.0
+        A[4, 1] = 3.0
+        if isinstance(scaling_params, float):
+            A *= scaling_params
+        else:
+            A = A * np.asarray(scaling_params)[None, :]
+        return A, 1e-12, np.inf
+
+
+class Orthotropic(Material):
+    """theta = [E1, E2, G12, nu12, beta] (reference Material.py:436-542).
+
+    Deviation from the reference: Material.py:499 computes
+    ``D22 = D11/E_ratio`` with ``E_ratio = E2/E1`` — i.e. D22 = D11*E1/E2,
+    which contradicts classical lamination theory (D22/D11 = E2/E1) and the
+    reference's own membrane branch (``A22 = E2/E1*A11``, Material.py:469).
+    We implement the physically correct ``D22 = D11 * E2/E1``.
+    """
+
+    def __init__(self, density, E1=None, E2=None, G12=None, nu12=None, beta=None):
+        self.density = density
+        self.is_mps = True
+        self.E1 = E1
+        self.E2 = E2
+        self.G12 = G12
+        self.nu12 = nu12
+        self.beta = beta
+
+    def _get_param_tuple(self):
+        return (self.E1, self.E2, self.G12, self.nu12, self.beta)
+
+    def get_D_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            E1, E2, G12, nu12, beta = (params[i] for i in range(5))
+            E_ratio = E2 / E1
+            nu21 = E_ratio * nu12
+            D11 = E1 * _h**3 / (12 * (1 - nu12 * nu21))
+            D66 = G12 * _h**3 / 12
+            D12 = nu21 * D11
+            D22 = D11 * E_ratio
+            return jnp.array([D11, D12, 0.0, D22, 0.0, D66]) * (1 + 1j * beta)
+
+        return Partial(_transform, _h=h)
+
+    def get_ABD_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            E1, E2, G12, nu12, beta = (params[i] for i in range(5))
+            E_ratio = E2 / E1
+            nu21 = E_ratio * nu12
+            A11 = E1 * _h / (1 - nu12 * nu21)
+            A12 = nu21 * A11
+            A22 = E_ratio * A11
+            A66 = G12 * _h
+            D11 = E1 * _h**3 / (12 * (1 - nu12 * nu21))
+            D66 = G12 * _h**3 / 12
+            D12 = nu21 * D11
+            D22 = D11 * E_ratio
+            As = jnp.array([A11, A12, 0.0, A22, 0.0, A66]) * (1 + 1j * beta)
+            Ds = jnp.array([D11, D12, 0.0, D22, 0.0, D66]) * (1 + 1j * beta)
+            return As, jnp.zeros_like(As), Ds
+
+        return Partial(_transform, _h=h)
+
+    @staticmethod
+    def _get_nonlin_constr(scaling_params=1.0):
+        # sqrt(E1/E2) > nu12  (Material.py:506-517)
+        def constr_func(params):
+            params = params * scaling_params
+            return jnp.array([jnp.sqrt(params[0] / params[1]) - params[3]])
+
+        return constr_func, 1e-12, np.inf
+
+    @staticmethod
+    def _get_lin_constr(scaling_params=1.0):
+        # all 5 positive; E1 > E2; 1.05 E1 > G12  (Material.py:519-542)
+        A = np.eye(7, 5)
+        A[5, 0] = 1.0
+        A[5, 1] = -1.0
+        A[6, 0] = 1.05
+        A[6, 2] = -1.0
+        if isinstance(scaling_params, float):
+            A *= scaling_params
+        else:
+            A = A * np.asarray(scaling_params)[None, :]
+        return A, 1e-12, np.inf
+
+
+class OrthotropicD4(Material):
+    """Orthotropic with per-modulus loss factors,
+    theta = [E1, E2, G12, nu12, b1, b2, b3, b4] (reference Material.py:545-636).
+
+    Note: the reference's transforms close over the *outer* ``h`` instead of
+    the bound ``_h`` (Material.py:592-594, 620-623) — works only by closure
+    accident; we bind ``_h`` properly.
+    """
+
+    def __init__(self, density, E1=None, E2=None, G12=None, nu12=None,
+                 b1=None, b2=None, b3=None, b4=None):
+        self.density = density
+        self.is_mps = True
+        self.E1 = E1
+        self.E2 = E2
+        self.G12 = G12
+        self.nu12 = nu12
+        self.b1 = b1
+        self.b2 = b2
+        self.b3 = b3
+        self.b4 = b4
+
+    def _get_param_tuple(self):
+        return (self.E1, self.E2, self.G12, self.nu12,
+                self.b1, self.b2, self.b3, self.b4)
+
+    @property
+    def scalar_loss_factor(self) -> bool:
+        # Per-modulus losses are NOT a single (1+i*beta) scaling -> the modal
+        # resolvent fast path is inexact; the direct solver engine is used.
+        return False
+
+    @staticmethod
+    def _complex_moduli(params):
+        E1 = params[0] * (1 + 1j * params[4])
+        E2 = params[1] * (1 + 1j * params[5])
+        G12 = params[2] * (1 + 1j * params[6])
+        nu12 = params[3] * (1 + 1j * params[7])
+        return E1, E2, G12, nu12
+
+    def get_D_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            E1, E2, G12, nu12 = OrthotropicD4._complex_moduli(params)
+            E_ratio = E2 / E1
+            nu21 = E_ratio * nu12
+            D11 = E1 * _h**3 / (12 * (1 - nu12 * nu21))
+            D66 = G12 * _h**3 / 12
+            D12 = nu21 * D11
+            D22 = D11 * E_ratio
+            return jnp.array([D11, D12, 0.0, D22, 0.0, D66])
+
+        return Partial(_transform, _h=h)
+
+    def get_ABD_transform(self, h: float) -> Callable:
+        def _transform(params, *args, _h):
+            E1, E2, G12, nu12 = OrthotropicD4._complex_moduli(params)
+            E_ratio = E2 / E1
+            nu21 = E_ratio * nu12
+            A11 = E1 * _h / (1 - nu12 * nu21)
+            A12 = nu21 * A11
+            A22 = E_ratio * A11
+            A66 = G12 * _h
+            D11 = E1 * _h**3 / (12 * (1 - nu12 * nu21))
+            D66 = G12 * _h**3 / 12
+            D12 = nu21 * D11
+            D22 = D11 * E_ratio
+            As = jnp.array([A11, A12, 0.0, A22, 0.0, A66])
+            Ds = jnp.array([D11, D12, 0.0, D22, 0.0, D66])
+            return As, jnp.zeros_like(As), Ds
+
+        return Partial(_transform, _h=h)
+
+
+class SOL(Orthotropic):
+    """Simple Orthotropic Laminate: identical unidirectional plies at given
+    angles (reference Material.py:639-788).  The Q->(A,B,D) linear maps are
+    closed-form numpy (see ``q_to_abd_matrices``), not sympy."""
+
+    def __init__(self, density, angles, E1=None, E2=None, G12=None, nu12=None, beta=None):
+        super().__init__(density, E1, E2, G12, nu12, beta)
+        self.angles = np.array(angles, dtype=np.float64)
+        # mid-plane symmetry <=> the angle stack is a palindrome
+        # (Material.py:652-653)
+        if np.sum(np.abs(self.angles - self.angles[::-1])) > 1e-6:
+            self.is_mps = False
+
+    @staticmethod
+    def _q_vector(params):
+        E1, E2, G12, nu12 = params[0], params[1], params[2], params[3]
+        den = 1 - E2 / E1 * nu12**2
+        return jnp.array([E1 / den, nu12 * E2 / den, 0.0, E2 / den, 0.0, G12])
+
+    def get_ABD_transform(self, h: float) -> Callable:
+        MA, MB, MD = q_to_abd_matrices(self.angles, h)
+
+        def _transform(params, *args, _MA, _MB, _MD):
+            beta = params[4]
+            Q = SOL._q_vector(params)
+            f = 1 + 1j * beta
+            return (_MA @ Q) * f, (_MB @ Q) * f, (_MD @ Q) * f
+
+        return Partial(_transform, _MA=jnp.asarray(MA), _MB=jnp.asarray(MB),
+                       _MD=jnp.asarray(MD))
+
+    def get_D_transform(self, h: float) -> Callable:
+        if not self.is_mps:
+            raise NotImplementedError(
+                "Transform without A_ij and B_ij matrices for non "
+                "midplane-symmetric composites."
+            )
+        _, _, MD = q_to_abd_matrices(self.angles, h)
+
+        def _transform(params, *args, _MD):
+            beta = params[4]
+            Q = SOL._q_vector(params)
+            return (_MD @ Q) * (1 + 1j * beta)
+
+        return Partial(_transform, _MD=jnp.asarray(MD))
+
+    def get_save_dict(self):
+        d = super().get_save_dict()
+        d["angles"] = list(np.asarray(self.angles))
+        return d
+
+
+class SymmetricalSOL(SOL):
+    """SOL with E1 == E2 tied, theta = [E1, G12, nu12, beta]
+    (reference Material.py:791-885)."""
+
+    def __init__(self, density, angles, E1=None, G12=None, nu12=None, beta=None):
+        super().__init__(density, angles, E1, E1, G12, nu12, beta)
+
+    @property
+    def E2(self):
+        return self.E1
+
+    @E2.setter
+    def E2(self, val):
+        self.E1 = val
+
+    def _get_param_tuple(self):
+        return (self.E1, self.G12, self.nu12, self.beta)
+
+    @staticmethod
+    def _q_vector4(params):
+        E1 = params[0]
+        E2 = params[0]
+        G12 = params[1]
+        nu12 = params[2]
+        den = 1 - E2 / E1 * nu12**2
+        return jnp.array([E1 / den, nu12 * E2 / den, 0.0, E2 / den, 0.0, G12])
+
+    def get_ABD_transform(self, h: float) -> Callable:
+        MA, MB, MD = q_to_abd_matrices(self.angles, h)
+
+        def _transform(params, *args, _MA, _MB, _MD):
+            beta = params[3]
+            Q = SymmetricalSOL._q_vector4(params)
+            f = 1 + 1j * beta
+            return (_MA @ Q) * f, (_MB @ Q) * f, (_MD @ Q) * f
+
+        return Partial(_transform, _MA=jnp.asarray(MA), _MB=jnp.asarray(MB),
+                       _MD=jnp.asarray(MD))
+
+    def get_D_transform(self, h: float) -> Callable:
+        if not self.is_mps:
+            raise NotImplementedError(
+                "Transform without A_ij and B_ij matrices for non "
+                "midplane-symmetric composites."
+            )
+        _, _, MD = q_to_abd_matrices(self.angles, h)
+
+        def _transform(params, *args, _MD):
+            beta = params[3]
+            Q = SymmetricalSOL._q_vector4(params)
+            return (_MD @ Q) * (1 + 1j * beta)
+
+        return Partial(_transform, _MD=jnp.asarray(MD))
+
+    @staticmethod
+    def _get_nonlin_constr(scaling_params=1.0):
+        return None
+
+    @staticmethod
+    def _get_lin_constr(scaling_params=1.0):
+        # E1, G12, beta > 0; 0 < nu12 < 1; E1 > G12  (Material.py:863-885)
+        A = np.eye(5, 4)
+        A[4, 0] = 1.0
+        A[4, 1] = -1.0
+        if isinstance(scaling_params, float):
+            A *= scaling_params
+        else:
+            A = A * np.asarray(scaling_params)[None, :]
+        eps = 1e-12
+        lb = np.full(5, eps)
+        ub = np.full(5, np.inf)
+        ub[2] = 1.0 - eps
+        return A, lb, ub
+
+
+_ATYPE_OF_CLASS = {
+    "Isotropic": "isotropic",
+    "Orthotropic": "orthotropic",
+    "OrthotropicD4": "orthotropic_d4",
+    "SOL": "sol",
+    "SymmetricalSOL": "symm_sol",
+}
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference Material.py:888-994)
+# ---------------------------------------------------------------------------
+
+def get_material(main_arg: str | float | int | dict, atype: str | None = None,
+                 **kwargs) -> Material:
+    """Create a Material from a name / density+kwargs / dict / .json path."""
+    params = None
+
+    if isinstance(main_arg, str):
+        fname, ext = os.path.splitext(main_arg)
+        if ext == ".json":
+            fpath = os.path.abspath(main_arg)
+        elif ext == "":
+            fpath = os.path.join(get_package_dir(), "materials", main_arg + ".json")
+        else:
+            raise ValueError(
+                f"Unsupported extension for material properties file: `{ext}`."
+            )
+
+        if os.path.exists(fpath):
+            with open(fpath, "r") as file:
+                params_json = json.load(file)
+            try:
+                params = {
+                    k: v for k, v in params_json.items()
+                    if k not in ("density", "atype", "is_mps")
+                }
+                density = params_json["density"]
+                atype = params_json["atype"]
+            except KeyError as err:
+                raise RuntimeError(
+                    f"Required parameter {err.args[0]} was not provided by the "
+                    f".json file {fpath}."
+                )
+        else:
+            raise ValueError(
+                f"Could not find file {main_arg} or such material in "
+                "`materials` folder."
+            )
+
+    elif isinstance(main_arg, (float, int)):
+        density = float(main_arg)
+        if not isinstance(atype, str):
+            raise ValueError("Atype argument was not provided.")
+        params = kwargs
+
+    elif isinstance(main_arg, dict):
+        try:
+            density = main_arg["density"]
+            atype = main_arg["atype"]
+            params = {
+                k: v for k, v in main_arg.items()
+                if k not in ("density", "atype", "is_mps")
+            }
+        except KeyError as err:
+            raise RuntimeError(
+                f"Required parameter {err.args[0]} was not provided in "
+                "dictionary, cannot create Material."
+            )
+    else:
+        raise TypeError("Argument `main_arg` should have type `str`, number or `dict`.")
+
+    if density <= 0:
+        raise ValueError(
+            f"Cannot create Material with negative material density: {density}."
+        )
+
+    if atype not in ATYPES:
+        raise ValueError(
+            f"Invalid anisotropy type {atype} for material. "
+            f"Supported options are: {list(ATYPES.keys())}."
+        )
+
+    if atype in ("sol", "symm_sol") and "angles" not in params:
+        raise ValueError(
+            "Cannot create simple orthotropic laminate material without "
+            "`angles` tuple."
+        )
+
+    if not set(params.keys()).issubset(ATYPES[atype]):
+        raise ValueError(
+            "Mismatching anisotropy type and provided arguments: expected "
+            f"values of {ATYPES[atype]}, got {params.keys()}."
+        )
+
+    cls = {
+        "isotropic": Isotropic,
+        "orthotropic": Orthotropic,
+        "orthotropic_d4": OrthotropicD4,
+        "sol": SOL,
+        "symm_sol": SymmetricalSOL,
+    }[atype]
+    return cls(density, **params)

@@ -1,0 +1,712 @@
+"""Problem: orchestration, forward FRF model, losses, inverse driver.
+
+TPU-native re-design of the reference's ``jax_plate/Problem.py`` (:38-980)
+with the same public surface:
+
+* ``Problem(geometry, material, accel, ref_fr, spath=...)`` — the setup.json
+  folder convention included (Problem.py:103-214);
+* ``getFRFunction()`` -> jit-compiled ``(freqs, params) -> fr`` (Problem.py:377-518);
+* ``solveForward`` / ``solveInverse`` / ``solveInverseLocal`` (Problem.py:611-921);
+* ``getLossFunction`` with MSE / RMSE / MSE_AFC / MSE_LOG_AFC (Problem.py:933-980);
+* ``getModePicture`` (Problem.py:521-608) rendered directly from our mesh —
+  no FreeFEM subprocess.
+
+Differences by design: FEM operators come from the on-device assembly layer
+(``fem.assembly``); the frequency batch is solved by the modal-resolvent or
+chunked dense-LU engine (``ops.sweep``) instead of the C++/UMFPACK callback;
+the whole forward+loss+gradient graph stays inside one jit.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import warnings
+from time import perf_counter
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+from ..config import default_precision
+from ..fem.assembly import (
+    MODULI_INDICES,
+    accel_indicator,
+    assemble_symm,
+    assemble_unsymm,
+)
+from ..io.compress import Compressor
+from ..io.report import default_uid, write_log, write_report
+from ..ops.sweep import sweep_solve
+from ..optimize import (
+    optResult,
+    optimize_cd,
+    optimize_cd_mem2,
+    optimize_gd,
+    optimize_trust_region,
+    optimize_newton,
+    optimize_lbfgs,
+)
+from ..utils.paths import get_repo_dir
+from .accelerometer import Accelerometer, AccelerometerParams
+from .geometry import Geometry, GeometryParams
+from .materials import Material, get_material
+
+
+class Problem:
+    """Holds geometry/material/sensor data, the assembled FEM operators and
+    produces differentiable jit'd functions."""
+
+    def __init__(
+        self,
+        geometry: Geometry = None,
+        material: Material = None,
+        accel: Accelerometer = None,
+        ref_fr: tuple[np.ndarray, np.ndarray] = None,
+        *,
+        cpu: int | None = 0,            # accepted for reference API parity; unused
+        spath: str | os.PathLike = None,
+        engine: str | None = None,      # 'modal' | 'direct' | None (auto)
+        chunk: int = 16,                # direct-engine frequency chunk
+        n_modes: int | None = None,     # optional modal truncation
+    ):
+        if (geometry, accel, material, spath) == (None,) * 4:
+            raise ValueError("Cannot create a Problem object without arguments.")
+
+        self.n_cpu = cpu
+        self.engine = engine
+        self.chunk = chunk
+        self.n_modes = n_modes
+        self.precision = default_precision()
+
+        self.accelerometer = accel
+        self.material = material
+        self.geometry = geometry
+
+        if spath is None:
+            if None in (geometry, material):
+                raise ValueError(
+                    "Cannot create a Problem object without `spath` argument "
+                    "if any of `geometry`, `material` arguments is `None`."
+                )
+        else:
+            self._load_setup(spath, geometry, material, accel)
+
+        if self.material.has_params:
+            self.parameters = self.material.get_parameters()
+        else:
+            warnings.warn(
+                "Some elastic moduli of a material were not provided, solving "
+                "forward problem as standalone will not be possible.",
+                RuntimeWarning,
+            )
+
+        if ref_fr is not None:
+            self.reference_fr = ref_fr
+
+        self.e = self.geometry.height / 2.0
+        self.rho = self.material.density
+        h = self.geometry.height
+
+        mesh = self.geometry.get_mesh()
+        self.mesh = mesh
+
+        have_accel_disk = (
+            self.geometry.accel_x is not None
+            and self.geometry.accel_y is not None
+            and self.geometry.accel_r is not None
+        )
+        indicator = (
+            accel_indicator(self.geometry.accel_x, self.geometry.accel_y,
+                            self.geometry.accel_r)
+            if have_accel_disk
+            else None
+        )
+
+        # Inertia constants (physical form; the reference solves the same
+        # system scaled by 1/h — Problem.py:421-424 vs 269-271):
+        self.I0 = h * self.rho
+        self.I2 = self.rho * h**3 / 12.0
+        if self.accelerometer is not None:
+            # accelerometer smeared as an added layer of height h_a
+            # (Problem.py:361-374)
+            rho_corr = (
+                self.accelerometer.mass
+                / (np.pi * self.accelerometer.radius**2)
+                / self.accelerometer.height
+            )
+            self.I0Corr = self.accelerometer.height * rho_corr
+            self.I2Corr = rho_corr / 3.0 * (
+                (h / 2.0 + self.accelerometer.height) ** 3 - h**3 / 8.0
+            )
+        else:
+            self.I0Corr = 0.0
+            self.I2Corr = 0.0
+
+        self.is_symmetric_path = self.material.is_mps and self.accelerometer is None
+
+        if self.is_symmetric_path:
+            op = assemble_symm(mesh, self.geometry.test_point, indicator=indicator)
+            self.op = op
+            # Total (regular + rotational) inertia, physical scaling:
+            # I0*M + I2*L  ==  rho*(M + e^2/3 L) * h  (Problem.py:269-271)
+            self.MInertia = self.I0 * op.M + self.I2 * op.L
+            self.fInertia = self.I0 * op.fM + self.I2 * op.fL
+            # The reference's symm-path accelerometer correction branch
+            # (Problem.py:273-299) is unreachable (requires accel None); the
+            # analogous correction here would add I0Corr*MCorr + I2Corr*LCorr.
+        else:
+            if not have_accel_disk:
+                raise ValueError(
+                    "The 3-field (unsymmetric) path needs an accelerometer "
+                    "disk position on the geometry."
+                )
+            op = assemble_unsymm(
+                mesh,
+                (self.geometry.accel_x, self.geometry.accel_y),
+                self.geometry.accel_r,
+                indicator=indicator,
+            )
+            self.op = op
+            self.MInertia = (
+                self.I0 * (op.mats["M11"] + op.mats["M22"] + op.mats["M33"])
+                + self.I0Corr * (op.mats["M11C"] + op.mats["M22C"] + op.mats["M33C"])
+                + self.I2 * op.mats["M33I2"]
+                + self.I2Corr * op.mats["M33I2C"]
+            )
+            self.fInertia = (
+                self.I0 * (op.lifts["M11"] + op.lifts["M22"] + op.lifts["M33"])
+                + self.I0Corr * (op.lifts["M11C"] + op.lifts["M22C"] + op.lifts["M33C"])
+                + self.I2 * op.lifts["M33I2"]
+                + self.I2Corr * op.lifts["M33I2C"]
+            )
+
+        self.n_free = op.n_free
+        self.sparsity = op.pattern.nnz / max(op.n_free, 1) ** 2
+
+    # ------------------------------------------------------------------
+
+    def _load_setup(self, spath, geometry, material, accel):
+        """setup.json folder loading (reference Problem.py:103-214)."""
+        if not isinstance(spath, (str, os.PathLike)):
+            raise TypeError(
+                "Argument `spath` should have one of the following types: "
+                f"str | os.PathLike, not {type(spath)}."
+            )
+        if not os.path.isabs(spath):
+            spath = os.path.join(get_repo_dir(), "setups", spath)
+        if not os.path.exists(spath):
+            raise ValueError(f"Path of the setup {spath} does not exist.")
+        if not os.path.isdir(spath):
+            raise ValueError(f"Selected path {spath} is not a directory.")
+
+        setup_fpath = os.path.join(spath, "setup.json")
+        if not os.path.exists(setup_fpath):
+            raise FileNotFoundError(
+                f"`setup.json` file was not found in setup directory {spath}."
+            )
+        with open(setup_fpath, "r") as file:
+            setup_params = json.load(file)
+
+        if "accelerometer" in setup_params:
+            nop = setup_params["accelerometer"]
+            if isinstance(nop, str):
+                self.accelerometer = Accelerometer(nop)
+            elif isinstance(nop, dict):
+                self.accelerometer = Accelerometer(AccelerometerParams(**nop))
+            else:
+                raise TypeError(
+                    f"In file {setup_fpath} key `accelerometer` should have a "
+                    "value with type `str` or `dict`."
+                )
+
+        if "material" in setup_params:
+            nop = setup_params["material"]
+            if isinstance(nop, (str, dict)):
+                self.material = get_material(nop)
+            else:
+                raise TypeError(
+                    f"In file {setup_fpath} key `material` should have a value "
+                    "with type `str` or `dict`."
+                )
+
+        if material is not None:
+            self.material = material
+        if accel is not None:
+            self.accelerometer = accel
+        if geometry is not None:
+            self.geometry = geometry
+        elif "geometry" in setup_params:
+            gdict = dict(setup_params["geometry"])
+            if "template" in gdict:
+                templ = gdict.pop("template")
+                self.geometry = Geometry(
+                    templ, accelerometer=self.accelerometer,
+                    params=GeometryParams(**gdict),
+                )
+            elif "edp" in gdict or "msh" in gdict:
+                gfile = gdict.pop("edp", None) or gdict.pop("msh", None)
+                gdict.pop("msh", None)
+                if not os.path.isabs(gfile):
+                    gfile = os.path.join(spath, gfile)
+                if "length" in gdict:
+                    self.geometry = Geometry(
+                        gfile, accelerometer=self.accelerometer,
+                        params=GeometryParams(**gdict),
+                    )
+                else:
+                    self.geometry = Geometry(
+                        gfile, accelerometer=self.accelerometer,
+                        height=gdict["height"],
+                    )
+            else:
+                raise ValueError(
+                    "Cannot create Geometry object, file "
+                    f"{setup_fpath} should contain `template`, `edp` or `msh` "
+                    "keyword inside `geometry`."
+                )
+
+        freq_file = os.path.join(spath, "freqs.npy")
+        if os.path.exists(freq_file):
+            freqs = np.load(freq_file)
+            amp = np.load(os.path.join(spath, "amp.npy"))
+            ph_path = os.path.join(spath, "phase.npy")
+            phase = np.load(ph_path) if os.path.exists(ph_path) else np.zeros_like(amp)
+            self.reference_fr = (freqs, amp * np.exp(1j * phase))
+
+        if None in (self.accelerometer, self.geometry, self.material):
+            raise RuntimeError(
+                "One of the `geometry`, `accelerometer`, `materials` "
+                "attributes was not provided in setup.json nor as an argument."
+            )
+
+    # ------------------------------------------------------------------
+
+    def _engine(self) -> str:
+        if self.engine is not None:
+            return self.engine
+        return "modal" if self.material.scalar_loss_factor else "direct"
+
+    @functools.cache
+    def getFRFunction(self) -> Callable:
+        """jit-compiled (freqs, params) -> frequency response.
+
+        Symmetric path returns the complex amplitude at the test point
+        (Problem.py:391-417); the 3-field path returns the real accelerometer
+        magnitude response (Problem.py:432-495).
+        """
+        prec = self.precision
+        rdt, cdt = prec.real, prec.complex
+        op = self.op
+        rows = jnp.asarray(op.pattern.rows)
+        cols = jnp.asarray(op.pattern.cols)
+        n = op.n_free
+        engine = self._engine()
+        chunk = self.chunk
+        n_modes = self.n_modes
+        h = self.geometry.height
+
+        MIn = jnp.asarray(self.MInertia, rdt)
+        fIn = jnp.asarray(self.fInertia, rdt)
+
+        if self.is_symmetric_path:
+            transform = self.material.get_D_transform(h)
+            Ks = jnp.asarray(op.Ks, rdt)          # (6, nnz)
+            fKs = jnp.asarray(op.fKs, rdt)        # (6, n)
+            c_vec = jnp.asarray(op.interpolation_vector, rdt)
+            c0 = jnp.asarray(op.interpolation_value_from_bc, rdt)
+
+            def _get_afc(freqs, params):
+                omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
+                D = transform(params, omegas[0]).astype(cdt)
+                K_flat = jnp.einsum("k,kn->n", D, Ks.astype(cdt))
+                bK = jnp.einsum("k,kn->n", D, fKs.astype(cdt))
+                B = bK[None, :] - (omegas**2)[:, None] * fIn[None, :].astype(cdt)
+                U = sweep_solve(K_flat, MIn, B, omegas, rows, cols, n,
+                                engine=engine, n_modes=n_modes, chunk=chunk)
+                return c0 + U @ c_vec
+
+        else:
+            transform = self.material.get_ABD_transform(h)
+            A_stack = jnp.asarray(
+                op.mat_stack(["A" + s for s in MODULI_INDICES]), rdt)
+            B_stack = jnp.asarray(
+                op.mat_stack(["B" + s for s in MODULI_INDICES]), rdt)
+            D_stack = jnp.asarray(
+                op.mat_stack(["D" + s for s in MODULI_INDICES]), rdt)
+            fA = jnp.asarray(op.lift_stack(["A" + s for s in MODULI_INDICES]), rdt)
+            fB = jnp.asarray(op.lift_stack(["B" + s for s in MODULI_INDICES]), rdt)
+            fD = jnp.asarray(op.lift_stack(["D" + s for s in MODULI_INDICES]), rdt)
+
+            acc = self.accelerometer
+            eff = acc.effective_height * acc.height
+            ts = acc.transverse_sensitivity
+
+            # disk-mean readout collapsed to three dot-product rows
+            # (Problem.py:454-462 takes means over the disk interpolants)
+            def row(name):
+                R, r0 = op.readout[name]
+                return (jnp.asarray(R.mean(axis=0), rdt),
+                        jnp.asarray(r0.mean(), rdt))
+
+            cu, ou = row("u")
+            cv, ov = row("v")
+            cw, ow = row("w")
+            cwx, owx = row("wx")
+            cwy, owy = row("wy")
+            ru, r0u = cu - eff * cwx, ou - eff * owx
+            rv, r0v = cv - eff * cwy, ov - eff * owy
+
+            def _get_afc(freqs, params):
+                omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
+                Av, Bv, Dv = transform(params, omegas[0])
+                Av, Bv, Dv = Av.astype(cdt), Bv.astype(cdt), Dv.astype(cdt)
+                K_flat = (
+                    jnp.einsum("k,kn->n", Av, A_stack.astype(cdt))
+                    + jnp.einsum("k,kn->n", Bv, B_stack.astype(cdt))
+                    + jnp.einsum("k,kn->n", Dv, D_stack.astype(cdt))
+                )
+                bK = (
+                    jnp.einsum("k,kn->n", Av, fA.astype(cdt))
+                    + jnp.einsum("k,kn->n", Bv, fB.astype(cdt))
+                    + jnp.einsum("k,kn->n", Dv, fD.astype(cdt))
+                )
+                Brhs = bK[None, :] - (omegas**2)[:, None] * fIn[None, :].astype(cdt)
+                U = sweep_solve(K_flat, MIn, Brhs, omegas, rows, cols, n,
+                                engine=engine, n_modes=n_modes, chunk=chunk)
+
+                u = U @ ru + r0u
+                v = U @ rv + r0v
+                w = U @ cw + ow
+
+                u_abs = jnp.abs(u) * ts
+                v_abs = jnp.abs(v) * ts
+                w_abs = jnp.abs(w)
+                return jnp.sqrt(u_abs**2 + v_abs**2 + w_abs**2)
+
+        return jax.jit(_get_afc)
+
+    # ------------------------------------------------------------------
+
+    def solveForward(self, freqs: np.ndarray, params: np.ndarray = None) -> np.ndarray:
+        """Forward FRF for a set of frequencies (Problem.py:611-639)."""
+        if params is None:
+            params = self.parameters
+        params = jnp.array(params)
+        fr_func = self.getFRFunction()
+        return fr_func(jnp.asarray(freqs), params)
+
+    def getSolutionMatrices(self, D, beta):
+        """Flat K_real/K_imag/MInertia data (Problem.py:923-930 analog)."""
+        if not self.is_symmetric_path:
+            raise NotImplementedError("Solution matrices for the 3-field path.")
+        loss_moduli = beta * D
+        K_real = jnp.einsum("k,kn->n", jnp.asarray(D), jnp.asarray(self.op.Ks))
+        K_imag = jnp.einsum("k,kn->n", jnp.asarray(loss_moduli), jnp.asarray(self.op.Ks))
+        return K_real, K_imag, jnp.asarray(self.MInertia)
+
+    # ------------------------------------------------------------------
+
+    def getLossFunction(
+        self,
+        frequencies: jax.Array,
+        reference_fr: jax.Array,
+        func_type: str,
+        scaling_params: jax.Array = None,
+    ) -> Callable:
+        """Loss factory; types MSE / RMSE / MSE_AFC / MSE_LOG_AFC
+        (Problem.py:933-980)."""
+        assert frequencies.shape[0] == reference_fr.shape[0]
+        fr_function = self.getFRFunction()
+        frequencies = jnp.asarray(frequencies)
+        reference_fr = jnp.asarray(reference_fr)
+
+        if scaling_params is None:
+            scaling_params = 1.0
+        else:
+            scaling_params = jnp.asarray(scaling_params)
+
+        if func_type == "MSE":
+            def loss(params):
+                fr = fr_function(frequencies, params * scaling_params)
+                return jnp.mean(jnp.abs(fr - reference_fr) ** 2)
+        elif func_type == "RMSE":
+            def loss(params):
+                fr = fr_function(frequencies, params * scaling_params)
+                return jnp.mean(jnp.abs((fr - reference_fr) / reference_fr) ** 2)
+        elif func_type == "MSE_AFC":
+            def loss(params):
+                fr = fr_function(frequencies, params * scaling_params)
+                return jnp.mean((jnp.abs(fr) - jnp.abs(reference_fr)) ** 2)
+        elif func_type == "MSE_LOG_AFC":
+            def loss(params):
+                fr = fr_function(frequencies, params * scaling_params)
+                return jnp.mean(
+                    (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(reference_fr))) ** 2
+                )
+        else:
+            raise ValueError(f'Function type "{func_type}" is not supported!')
+
+        return jax.jit(loss)
+
+    # ------------------------------------------------------------------
+
+    def solveInverse(
+        self,
+        arg0: npt.ArrayLike,
+        loss_type: str,
+        optimizer: str,
+        compression: tuple = (False, 0),
+        comp_alg: int = 1,
+        ref_fr: tuple[np.ndarray, np.ndarray] = None,
+        use_rel: bool = False,
+        use_scaling: bool = False,
+        use_constraints: bool = False,
+        report: bool = True,
+        log: bool = True,
+        case_name: str = "",
+        uid: str = None,
+        extra_info: str = "",
+        **opt_kwargs,
+    ) -> optResult:
+        """Inverse solve from an initial guess or bounds (Problem.py:641-914).
+
+        Optimizers: 'trust_region'/'tr', 'coord_descent'/'cd',
+        'coord_descent_mem'/'cd_mem', 'grad_descent'/'gd', 'newton',
+        'lbfgs', plus scipy globals 'de' (differential evolution) and 'shgo'.
+        """
+        from scipy.optimize import OptimizeResult, differential_evolution, shgo
+
+        if ref_fr is None:
+            ref_fr = getattr(self, "reference_fr", None)
+            if ref_fr is None:
+                raise ValueError(
+                    "Cannot solve inverse problem as `ref_fr` argument was "
+                    "not provided and the Problem object doesn't have a "
+                    "reference_fr attribute."
+                )
+        ref_fr = [np.asarray(ref_fr[0]), np.asarray(ref_fr[1])]
+
+        if not isinstance(compression, tuple):
+            raise TypeError(
+                "`compression` argument should have a type `tuple`, not "
+                f"{type(compression)}."
+            )
+        if len(compression) != 2:
+            raise ValueError(
+                f"`compression` tuple should have 2 elements, not {len(compression)}."
+            )
+
+        if compression[0]:
+            comp = Compressor(ref_fr[0], ref_fr[1], compression[1], comp_alg)
+            ref_fr[0], ref_fr[1] = comp(compression[1])
+
+        arg0 = np.array(arg0)
+        scaling_params = None
+
+        if arg0.ndim == 1:
+            if use_rel:
+                if getattr(self, "parameters", None) is None:
+                    raise ValueError(
+                        "Cannot use `arg0` as relative coefficients of "
+                        "correction as Problem object has no `parameters` "
+                        "attribute."
+                    )
+                x0_bds = jnp.array(self.parameters) * (jnp.array(arg0) + 1)
+                if use_scaling:
+                    scaling_params = x0_bds
+                    x0_bds = jnp.array(arg0) + 1
+            else:
+                x0_bds = jnp.array(arg0)
+                if use_scaling:
+                    scaling_params = x0_bds
+                    x0_bds = jnp.ones_like(x0_bds)
+        elif arg0.ndim == 2:
+            if use_scaling:
+                scaling_params = np.max(np.abs(arg0), axis=1)
+                x0_bds = arg0 / scaling_params[:, None]
+            else:
+                x0_bds = arg0
+        else:
+            raise ValueError("Invalid shape of `arg0` argument.")
+
+        loss = self.getLossFunction(ref_fr[0], ref_fr[1], loss_type, scaling_params)
+
+        if scaling_params is None:
+            scaling_params = np.ones_like(np.asarray(x0_bds))
+        elif np.asarray(x0_bds).ndim == 2:
+            scaling_params = np.tile(np.asarray(scaling_params), (2, 1)).T
+
+        local = {
+            "trust_region": optimize_trust_region,
+            "tr": optimize_trust_region,
+            "coord_descent": optimize_cd,
+            "cd": optimize_cd,
+            "coord_descent_mem": optimize_cd_mem2,
+            "cd_mem": optimize_cd_mem2,
+            "grad_descent": optimize_gd,
+            "gd": optimize_gd,
+            "newton": optimize_newton,
+            "lbfgs": optimize_lbfgs,
+        }
+
+        if optimizer in local:
+            optimizer_func = local[optimizer]
+        elif optimizer == "de":
+            optimizer_func = differential_evolution
+        elif optimizer == "shgo":
+            optimizer_func = shgo
+            if use_constraints:
+                opt_kwargs["constraints"] = self.material.get_constraints(
+                    np.asarray(scaling_params)[:, 0]
+                )
+            loss_grad = jax.jit(jax.grad(loss))
+            loss_hess = jax.jit(jax.jacobian(loss_grad))
+            options = opt_kwargs.get("options", {})
+            options["jac"] = loss_grad
+            options["hess"] = loss_hess
+            opt_kwargs["options"] = options
+        else:
+            raise ValueError(f"Optimizer type `{optimizer}` is not supported!")
+
+        t_start = perf_counter()
+        result = optimizer_func(loss, x0_bds, **opt_kwargs)
+        t_end = perf_counter()
+        elapsed = (t_end - t_start) / 60
+
+        if use_scaling and optimizer in ("de", "shgo"):
+            d = dict(result)
+            if np.asarray(scaling_params).ndim == 1:
+                d["x"] = d["x"] * scaling_params
+            else:
+                d["x"] = d["x"] * np.asarray(scaling_params)[:, 1]
+            result = OptimizeResult(d)
+        elif use_scaling:
+            sp = (
+                np.asarray(scaling_params)
+                if np.asarray(scaling_params).ndim == 1
+                else np.asarray(scaling_params)[:, 1]
+            )
+            result = result._replace(x=result.x * sp)
+
+        if uid is None:
+            full_str = case_name + default_uid()
+        else:
+            full_str = case_name + uid
+
+        if optimizer in ("de", "shgo"):
+            # normalize scipy results to optResult fields (Problem.py:855-863)
+            setattr(result, "f", result.fun)
+            if optimizer == "de":
+                setattr(result, "x_history", list(result.population))
+            else:
+                setattr(result, "x_history", list(result.xl))
+            setattr(result, "f_history", [-1.0])
+            setattr(result, "status", result.message)
+            setattr(result, "niter", result.nit)
+
+        if report:
+            rel_err1 = "Unknown"
+            rel_err2 = "Unknown"
+            if getattr(self, "parameters", None) is not None:
+                params0 = np.array(self.parameters)
+                if arg0.ndim != 2:
+                    rel_err1 = (np.array(x0_bds) * scaling_params - params0) / params0
+                rel_err2 = (np.array(result.x) - params0) / params0
+
+            def a2s(s):
+                if isinstance(s, str):
+                    return s
+                return np.array2string(np.array(s), separator=", ", precision=5)
+
+            comp_str = ""
+            if compression[0]:
+                comp_str = (
+                    f"Using compression algorithm {comp_alg} with "
+                    f"{compression[1]} points.\n"
+                )
+            s_pa_bd = "parameters" if arg0.ndim == 1 else "bounds"
+            f0 = result.f_history[0] if len(result.f_history) else float("nan")
+
+            rep_str = (
+                f"{self.accelerometer}\n{self.material}\n{self.geometry}\n"
+                + extra_info
+                + comp_str
+                + f"Starting {s_pa_bd}: {a2s(np.asarray(x0_bds) * scaling_params)}.\n"
+                f"With relative error: {a2s(rel_err1)}.\n"
+                f"Initial loss: {f0}.\n"
+                f"Elapsed time: {elapsed} min.\n"
+                f"After optimization: {a2s(result.x)}.\n"
+                f"With relative error: {a2s(rel_err2)}.\n"
+                f"Resulting loss: {result.f}.\n"
+                f"Optimization status: {result.status}.\n"
+                f"Optimizer parameters: {opt_kwargs}.\n"
+                f"Optimizer type: {optimizer}.\n"
+                f"Scaling parameters used: {scaling_params}.\n"
+            )
+            print(rep_str, end="")
+            write_report(full_str, rep_str)
+
+        if log:
+            write_log(full_str, result)
+
+        return result
+
+    def solveInverseLocal(self, *args, **kwargs):
+        """Alias for ``solveInverse`` (reference Problem.py:916-921)."""
+        return self.solveInverse(*args, **kwargs)
+
+    # ------------------------------------------------------------------
+
+    def getModePicture(self, freq: float, use_freefem: bool = False,
+                       params: np.ndarray = None, ax=None):
+        """Deflection-magnitude contour at one frequency (Problem.py:521-608).
+
+        Rendered directly from our mesh: Morley vertex DOFs *are* the P1
+        nodal values the reference extracts through a FreeFEM round-trip
+        (Problem.py:576-597).  ``use_freefem`` is accepted for parity and
+        ignored.
+        """
+        if params is None:
+            params = self.parameters
+        if not self.is_symmetric_path:
+            raise NotImplementedError("Mode picture for non-symmetric solver.")
+
+        import matplotlib.pyplot as plt
+
+        op = self.op
+        prec = self.precision
+        freqs = jnp.asarray([freq], prec.real)
+        transform = self.material.get_D_transform(self.geometry.height)
+
+        rows = jnp.asarray(op.pattern.rows)
+        cols = jnp.asarray(op.pattern.cols)
+        omegas = 2.0 * jnp.pi * freqs
+        D = transform(jnp.asarray(params), omegas[0]).astype(prec.complex)
+        K_flat = jnp.einsum("k,kn->n", D, jnp.asarray(op.Ks, prec.complex))
+        bK = jnp.einsum("k,kn->n", D, jnp.asarray(op.fKs, prec.complex))
+        B = bK[None, :] - (omegas**2)[:, None] * jnp.asarray(
+            self.fInertia, prec.complex
+        )[None, :]
+        U = sweep_solve(K_flat, jnp.asarray(self.MInertia, prec.real), B,
+                        omegas, rows, cols, op.n_free,
+                        engine=self._engine(), chunk=self.chunk)
+        u_free = np.asarray(U[0])
+
+        complete = np.array(op.boundary_value)
+        complete[~op.constrained] = np.abs(u_free)
+        vertex_vals = complete[: self.mesh.num_nodes]
+
+        if ax is None:
+            ax = plt.gca()
+        tri = self.mesh.to_matplotlib_tri()
+        cf = ax.tricontourf(tri, vertex_vals, 2000, cmap="coolwarm",
+                            norm="symlog", antialiased=False)
+        ax.set_aspect("equal")
+        plt.colorbar(cf, ax=ax, orientation="horizontal", location="bottom",
+                     pad=0.05)
+        self.mesh.plot(ax=ax, alpha=0.4)
+        ax.axis("off")
+        return vertex_vals

@@ -1,0 +1,132 @@
+"""Frequency-sweep solvers with implicit-diff AD.
+
+Solves ``A(omega_f) u_f = b_f`` for a batch of frequencies, where
+``A(omega) = K_c - omega^2 M`` over a static sparsity pattern, and returns the
+full solution batch U (F, N).
+
+AD contract (the same implicit-diff semantics as the reference's hand-written
+primitive rules, Sparse.py:200-222):
+
+* tangent:  du = A^{-1} (db - dA u)
+* cotangent flows through the transposed (linear) tangent map; A is complex
+  *symmetric* here, so the adjoint solve reuses the same resolvent.
+
+Gradients never unroll the solver and never differentiate the eigenbasis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .scatter import to_dense, spmv_flat
+from .spectral import modal_basis_from_flat
+
+
+def _loss_factor(K_flat):
+    """Extract beta from K = (1+i*beta) K_r by least-squares projection."""
+    kr = jnp.real(K_flat)
+    ki = jnp.imag(K_flat)
+    return jnp.vdot(kr, ki).real / jnp.vdot(kr, kr).real
+
+
+def _resolvent_apply(X, Z, d):
+    """Apply A^{-1} via the modal basis: Z diag(1/d) Z^T X^T, batched.
+
+    X: (F, N) right-hand sides; d: (F, N) modal denominators.  Two MXU
+    matmuls — this is the entire per-frequency work of the modal engine.
+    """
+    Q = X @ Z          # (F, n_modes)
+    Q = Q / d
+    return Q @ Z.T     # (F, N)
+
+
+# ---------------------------------------------------------------------------
+# modal engine
+# ---------------------------------------------------------------------------
+
+@jax.custom_jvp
+def _modal_solve(K_flat, M_flat, B, Z, lam, omegas, rows, cols):
+    beta = _loss_factor(K_flat)
+    c = 1.0 + 1j * beta
+    d = c * lam[None, :] - (omegas**2)[:, None]
+    return _resolvent_apply(B, Z, d)
+
+
+@_modal_solve.defjvp
+def _modal_solve_jvp(primals, tangents):
+    K_flat, M_flat, B, Z, lam, omegas, rows, cols = primals
+    dK, dM, dB = tangents[0], tangents[1], tangents[2]
+    # Z/lam/omegas/rows/cols tangents are ignored: the basis carries no
+    # parameter sensitivity (stop_gradient upstream); omegas are inputs, not
+    # optimization variables (matching reference vmap in_axes=(0, None)).
+
+    U = _modal_solve(*primals)
+
+    beta = _loss_factor(K_flat)
+    c = 1.0 + 1j * beta
+    d = c * lam[None, :] - (omegas**2)[:, None]
+
+    n = U.shape[-1]
+    dAu = spmv_flat(dK, rows, cols, U, n) - (omegas**2)[:, None] * spmv_flat(
+        dM.astype(U.dtype), rows, cols, U, n
+    )
+    dU = _resolvent_apply(dB - dAu, Z, d)
+    return U, dU
+
+
+def modal_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
+                n_modes: int | None = None):
+    """Exact modal-resolvent sweep for ``K_c = (1+i*beta) K_r``.
+
+    One generalized eigh of (Re K, M) + two matmuls for the whole sweep.
+    ``n_modes`` optionally truncates the basis (Rayleigh-Ritz approximation;
+    default exact/full).
+    """
+    lam, Z = modal_basis_from_flat(jnp.real(K_flat), M_flat, rows, cols, n)
+    if n_modes is not None:
+        lam = lam[:n_modes]
+        Z = Z[:, :n_modes]
+    return _modal_solve(
+        K_flat, M_flat, B, Z, lam, omegas,
+        jnp.asarray(rows), jnp.asarray(cols),
+    )
+
+
+# ---------------------------------------------------------------------------
+# direct engine
+# ---------------------------------------------------------------------------
+
+def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
+                 chunk: int = 16):
+    """Chunked batched dense LU over the frequency sweep.
+
+    Exact for arbitrary complex stiffness (OrthotropicD4's per-modulus loss
+    factors, future frequency-dependent moduli).  ``jnp.linalg.solve`` carries
+    the correct implicit-diff AD; ``jax.checkpoint`` keeps backward memory at
+    one chunk of factors (the reference instead refactorizes per solve,
+    InnerState.h:251-305).
+    """
+    Kd = to_dense(K_flat, rows, cols, n)
+    Md = to_dense(M_flat, rows, cols, n).astype(Kd.dtype)
+
+    @jax.checkpoint
+    def one(args):
+        om, b = args
+        A = Kd - (om**2) * Md
+        return jnp.linalg.solve(A, b)
+
+    return jax.lax.map(one, (omegas, B), batch_size=chunk)
+
+
+def sweep_solve(K_flat, M_flat, B, omegas, rows, cols, n: int,
+                engine: str = "modal", n_modes: int | None = None,
+                chunk: int = 16):
+    """Engine dispatch. B: (F, N) complex right-hand sides."""
+    if engine == "modal":
+        return modal_sweep(K_flat, M_flat, B, omegas, rows, cols, n, n_modes)
+    elif engine == "direct":
+        return direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n, chunk)
+    else:
+        raise ValueError(f"Unknown sweep engine {engine!r}; use 'modal'/'direct'.")

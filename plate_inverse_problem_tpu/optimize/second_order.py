@@ -1,0 +1,103 @@
+"""Additional device-first optimizers beyond the reference set.
+
+The BASELINE north star asks for Gauss-Newton iteration timing; the reference
+only ships TR-Newton/GD/CD (Optimizers.py).  Here:
+
+* ``optimize_newton`` — damped Newton with jit'd value/grad/Hessian and an
+  Armijo backtracking line search.
+* ``optimize_lbfgs`` — L-BFGS via optax's implementation, wrapped to return
+  the same ``optResult`` record.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .local import optResult, get_model_newt
+
+
+def optimize_newton(f, x_0, N_steps=20, damping=1e-8, f_min=1e-16,
+                    backtrack=0.5, max_backtracks=20):
+    """Damped Newton with Armijo backtracking."""
+    update_model = get_model_newt(f)
+    f_jit = jax.jit(f)
+
+    x = jnp.asarray(x_0)
+    x_history, f_history, grad_history = [], [], []
+    status = "Running"
+    cur_f = None
+    k = 0
+
+    for k in range(N_steps):
+        cur_f, g, B = update_model(x)
+        x_history.append(x)
+        f_history.append(cur_f)
+        grad_history.append(g)
+        if cur_f <= f_min:
+            status = "Converged"
+            break
+
+        lam = damping * jnp.trace(B) / B.shape[0]
+        B_d = B + jnp.eye(B.shape[0], dtype=B.dtype) * lam
+        try:
+            step = jnp.linalg.solve(B_d, -g)
+        except Exception:
+            step = -g
+
+        # fall back to steepest descent if the Newton step is not a descent dir
+        if jnp.dot(step, g) > 0:
+            step = -g
+
+        t = 1.0
+        accepted = False
+        for _ in range(max_backtracks):
+            new_f = f_jit(x + t * step)
+            if new_f < cur_f:
+                x = x + t * step
+                accepted = True
+                break
+            t *= backtrack
+        if not accepted:
+            status = "Stalled"
+            break
+
+    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+
+
+def optimize_lbfgs(f, x_0, N_steps=100, f_min=1e-16, **lbfgs_kwargs):
+    """L-BFGS through optax, reporting reference-style histories."""
+    import optax
+
+    solver = optax.lbfgs(**lbfgs_kwargs)
+    value_and_grad = optax.value_and_grad_from_state(f)
+
+    x = jnp.asarray(x_0)
+    state = solver.init(x)
+    x_history, f_history, grad_history = [], [], []
+    status = "Running"
+    cur_f = None
+    k = 0
+
+    @jax.jit
+    def step(x, state):
+        value, grad = value_and_grad(x, state=state)
+        updates, state = solver.update(
+            grad, state, x, value=value, grad=grad, value_fn=f
+        )
+        return optax.apply_updates(x, updates), state, value, grad
+
+    for k in range(N_steps):
+        x_new, state, cur_f, g = step(x, state)
+        x_history.append(x)
+        f_history.append(cur_f)
+        grad_history.append(g)
+        x = x_new
+        if cur_f <= f_min:
+            status = "Converged"
+            break
+        if not np.isfinite(np.asarray(cur_f)):
+            status = "Diverged"
+            break
+
+    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)

@@ -1,0 +1,152 @@
+"""Benchmark: FRF solves/sec/chip over a 512-frequency sweep.
+
+North-star metric from BASELINE.json.  The baseline is the reference's
+compute recipe — one sparse LU factorization + solve per frequency (UMFPACK
+via InnerState.h:240-305) — executed here with scipy.sparse.linalg.splu on
+the *same reduced system* on the host CPU, extrapolated to the full sweep.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/sec/chip", "vs_baseline": N}
+Progress/diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import plate_inverse_problem_tpu as pip
+    from plate_inverse_problem_tpu.config import default_precision
+
+    backend = jax.default_backend()
+    prec = default_precision()
+    log(f"backend={backend} devices={jax.devices()} precision={prec.name}")
+
+    # ---- problem: sh_i strip, refined to a production-ish DOF count --------
+    acc = pip.Accelerometer("AP1030")
+    geom = pip.Geometry(
+        "sh_i", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
+        refine=2.0,
+    )
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    t0 = time.perf_counter()
+    p = pip.Problem(geom, mat, acc)
+    log(f"assembly: n_free={p.n_free} nnz={p.op.pattern.nnz} "
+        f"({time.perf_counter() - t0:.2f}s)")
+
+    N_F = 512
+    freqs = np.linspace(40.0, 600.0, N_F)
+    fr_fn = p.getFRFunction()
+    fj = jnp.asarray(freqs, p.precision.real)
+    th = jnp.asarray(np.asarray(p.parameters), p.precision.real)
+
+    t0 = time.perf_counter()
+    fr = fr_fn(fj, th)
+    jax.block_until_ready(fr)
+    compile_s = time.perf_counter() - t0
+    log(f"first call (incl. compile): {compile_s:.2f}s")
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fr = fr_fn(fj, th)
+    jax.block_until_ready(fr)
+    per_sweep = (time.perf_counter() - t0) / iters
+    solves_per_sec = N_F / per_sweep
+    log(f"steady-state sweep: {per_sweep*1e3:.1f} ms -> "
+        f"{solves_per_sec:.1f} solves/s/chip")
+    checksum = float(np.sum(np.abs(np.asarray(fr))))
+    log(f"FR checksum: {checksum:.6f}")
+
+    # ---- baseline: per-frequency sparse LU on the same system (CPU) --------
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    op = p.op
+    D = np.asarray(mat.get_D_transform(geom.height)(np.asarray(p.parameters), 0.0))
+    names = ["A", "B", "D"]
+    from plate_inverse_problem_tpu.fem.assembly import MODULI_INDICES
+
+    Av, Bv, Dv = (np.asarray(x) for x in
+                  mat.get_ABD_transform(geom.height)(np.asarray(p.parameters), 0.0))
+    K_flat = np.zeros(op.pattern.nnz, dtype=np.complex128)
+    bK = np.zeros(p.n_free, dtype=np.complex128)
+    for i, s in enumerate(MODULI_INDICES):
+        K_flat += Av[i] * op.mats["A" + s] + Bv[i] * op.mats["B" + s] + Dv[i] * op.mats["D" + s]
+        bK += Av[i] * op.lifts["A" + s] + Bv[i] * op.lifts["B" + s] + Dv[i] * op.lifts["D" + s]
+    M_flat = np.asarray(p.MInertia)
+    fIn = np.asarray(p.fInertia)
+
+    Kcsc = sp.csc_matrix(
+        (K_flat, (op.pattern.rows, op.pattern.cols)), shape=(p.n_free, p.n_free)
+    )
+    Mcsc = sp.csc_matrix(
+        (M_flat.astype(np.complex128), (op.pattern.rows, op.pattern.cols)),
+        shape=(p.n_free, p.n_free),
+    )
+
+    n_base = 8
+    t0 = time.perf_counter()
+    for f in freqs[:n_base]:
+        om = 2 * np.pi * f
+        A = (Kcsc - om**2 * Mcsc).tocsc()
+        lu = spla.splu(A)
+        u = lu.solve(bK - om**2 * fIn)
+    base_per_solve = (time.perf_counter() - t0) / n_base
+    base_solves_per_sec = 1.0 / base_per_solve
+    log(f"baseline (scipy splu, CPU): {base_per_solve*1e3:.1f} ms/solve -> "
+        f"{base_solves_per_sec:.1f} solves/s")
+
+    # correctness cross-check vs the sparse-LU oracle at the last frequency
+    idx = n_base - 1
+    om = 2 * np.pi * freqs[idx]
+    rows = jnp.asarray(op.pattern.rows)
+    cols = jnp.asarray(op.pattern.cols)
+    from plate_inverse_problem_tpu.ops.sweep import sweep_solve
+
+    B1 = (bK - om**2 * fIn)[None, :]
+    U1 = np.asarray(
+        sweep_solve(
+            jnp.asarray(K_flat, p.precision.complex),
+            jnp.asarray(M_flat, p.precision.real),
+            jnp.asarray(B1, p.precision.complex),
+            jnp.asarray([om], p.precision.real),
+            rows, cols, p.n_free, engine="modal",
+        )
+    )[0]
+    rel = np.linalg.norm(U1 - u) / np.linalg.norm(u)
+    log(f"modal vs sparse-LU rel error @ {freqs[idx]:.0f} Hz: {rel:.2e}")
+
+    out = {
+        "metric": "FRF solves/sec/chip (512-freq sweep, sh_i plate, "
+                  f"n_free={p.n_free})",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/sec/chip",
+        "vs_baseline": round(solves_per_sec / base_solves_per_sec, 3),
+        "extra": {
+            "sweep_ms": round(per_sweep * 1e3, 2),
+            "compile_s": round(compile_s, 2),
+            "baseline_solves_per_sec": round(base_solves_per_sec, 2),
+            "modal_vs_splu_rel_err": float(rel),
+            "checksum": checksum,
+            "backend": backend,
+            "precision": prec.name,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

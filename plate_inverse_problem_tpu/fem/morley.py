@@ -117,9 +117,17 @@ def build_morley(mesh: TriangleMesh, quad=TRI_DEGREE5) -> dict:
 
         return C, c0, s, area, d2, phi_q, grad_q, xq
 
-    C, c0, s, area, d2, phi_q, grad_q, xq = jax.vmap(element)(
-        jnp.asarray(coords), jnp.asarray(mids), jnp.asarray(n_loc)
-    )
+    # Assembly is init-time float64 work (exactness of element integrals);
+    # pin it to the host CPU — the TPU compute path only ever sees the
+    # assembled flat data, and TPUs lack f64 LU for the basis inversion.
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    with jax.default_device(cpu0):
+        C, c0, s, area, d2, phi_q, grad_q, xq = jax.vmap(element)(
+            jnp.asarray(coords), jnp.asarray(mids), jnp.asarray(n_loc)
+        )
 
     dofs = np.concatenate([tri, V + tri_e], axis=1).astype(np.int32)  # (T, 6)
 

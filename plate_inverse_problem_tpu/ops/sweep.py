@@ -31,49 +31,44 @@ def _loss_factor(K_flat):
     return jnp.vdot(kr, ki).real / jnp.vdot(kr, kr).real
 
 
-def _resolvent_apply(X, Z, d):
-    """Apply A^{-1} via the modal basis: Z diag(1/d) Z^T X^T, batched.
-
-    X: (F, N) right-hand sides; d: (F, N) modal denominators.  Two MXU
-    matmuls — this is the entire per-frequency work of the modal engine.
-    """
-    Q = X @ Z          # (F, n_modes)
-    Q = Q / d
-    return Q @ Z.T     # (F, N)
-
-
 # ---------------------------------------------------------------------------
 # modal engine
 # ---------------------------------------------------------------------------
 
-@jax.custom_jvp
 def _modal_solve(K_flat, M_flat, B, Z, lam, omegas, rows, cols):
+    """Batched resolvent solve via ``lax.custom_linear_solve``.
+
+    The linear operator ``A(omega) x = K x - omega^2 M x`` is expressed as a
+    flat-pattern SpMV (the ``matvec``); the numerical solve applies the modal
+    resolvent ``Z diag(1/d) Z^T``.  ``custom_linear_solve`` owns the
+    implicit-diff AD: gradients w.r.t. K/M flow through the matvec
+    parameters at any differentiation order, while the solve closure (Z,
+    lam) is treated as a numerical method and receives none — exactly the
+    adjoint-method contract of the reference's primitives
+    (Sparse.py:200-222), but arbitrarily composable with vmap/jvp/vjp.
+
+    A is complex *symmetric* (not Hermitian): transpose_solve == solve.
+    """
+    n = Z.shape[0]
     beta = _loss_factor(K_flat)
     c = 1.0 + 1j * beta
-    d = c * lam[None, :] - (omegas**2)[:, None]
-    return _resolvent_apply(B, Z, d)
 
+    def one(om, b):
+        d = c * lam - om**2
 
-@_modal_solve.defjvp
-def _modal_solve_jvp(primals, tangents):
-    K_flat, M_flat, B, Z, lam, omegas, rows, cols = primals
-    dK, dM, dB = tangents[0], tangents[1], tangents[2]
-    # Z/lam/omegas/rows/cols tangents are ignored: the basis carries no
-    # parameter sensitivity (stop_gradient upstream); omegas are inputs, not
-    # optimization variables (matching reference vmap in_axes=(0, None)).
+        def mv(x):
+            return spmv_flat(K_flat, rows, cols, x, n) - (om**2) * spmv_flat(
+                M_flat.astype(x.dtype), rows, cols, x, n
+            )
 
-    U = _modal_solve(*primals)
+        def slv(_mv, bb):
+            return Z @ ((Z.T @ bb) / d)
 
-    beta = _loss_factor(K_flat)
-    c = 1.0 + 1j * beta
-    d = c * lam[None, :] - (omegas**2)[:, None]
+        return jax.lax.custom_linear_solve(
+            mv, b, solve=slv, transpose_solve=slv
+        )
 
-    n = U.shape[-1]
-    dAu = spmv_flat(dK, rows, cols, U, n) - (omegas**2)[:, None] * spmv_flat(
-        dM.astype(U.dtype), rows, cols, U, n
-    )
-    dU = _resolvent_apply(dB - dAu, Z, d)
-    return U, dU
+    return jax.vmap(one)(omegas, B)
 
 
 def modal_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,

@@ -1,0 +1,82 @@
+"""Optimizer unit tests on analytic objectives."""
+import numpy as np
+import jax.numpy as jnp
+
+from plate_inverse_problem_tpu.optimize import (
+    FixedParameterFunction,
+    optimize_trust_region,
+    optimize_gd,
+    optimize_cd,
+    optimize_cd_mem2,
+    optimize_newton,
+    optimize_lbfgs,
+    solve_trust_region_model,
+)
+
+
+# The reference-style optimizers treat the objective as a non-negative
+# fitting loss (stop when f <= f_min), so the test quadratic has min 0.
+QUAD_MIN = np.array([0.7, -1.3])
+
+
+def quad(x):
+    A = jnp.asarray([[3.0, 0.5], [0.5, 1.0]])
+    d = x - jnp.asarray(QUAD_MIN)
+    return 0.5 * d @ A @ d
+
+
+def rosen(x):
+    return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+
+def test_trust_region_quadratic():
+    res = optimize_trust_region(quad, jnp.zeros(2), N_steps=20, delta_max=2.0)
+    np.testing.assert_allclose(np.asarray(res.x), QUAD_MIN, rtol=1e-5)
+    assert len(res.f_history) == len(res.x_history)
+
+
+def test_trust_region_rosenbrock():
+    res = optimize_trust_region(rosen, jnp.asarray([-0.5, 0.5]), N_steps=100,
+                                delta_max=1.0)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=2e-3)
+
+
+def test_trust_region_model_respects_radius():
+    B = np.array([[2.0, 0.0], [0.0, -1.0]])  # indefinite
+    g = np.array([1.0, 1.0])
+    sd, lam, pred = solve_trust_region_model(jnp.asarray(B), jnp.asarray(g), 0.5)
+    assert np.linalg.norm(np.asarray(sd)) <= 0.5 * (1 + 1e-6)
+    assert pred >= 0
+
+
+def test_gd_converges():
+    res = optimize_gd(quad, jnp.zeros(2), N_steps=500, h=0.2)
+    np.testing.assert_allclose(np.asarray(res.x), QUAD_MIN, atol=1e-3)
+
+
+def test_cd_runs():
+    res = optimize_cd(quad, jnp.zeros(2), N_steps=100, h=0.2)
+    np.testing.assert_allclose(np.asarray(res.x), QUAD_MIN, atol=1e-2)
+
+
+def test_cd_mem2_runs():
+    res = optimize_cd_mem2(quad, jnp.zeros(2), N_steps=50, h=0.2)
+    np.testing.assert_allclose(np.asarray(res.x), QUAD_MIN, atol=1e-2)
+
+
+def test_newton_quadratic_one_step():
+    res = optimize_newton(quad, jnp.zeros(2), N_steps=3)
+    np.testing.assert_allclose(np.asarray(res.x), QUAD_MIN, rtol=1e-8)
+
+
+def test_lbfgs_rosenbrock():
+    res = optimize_lbfgs(rosen, jnp.asarray([-0.5, 0.5]), N_steps=200)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+
+def test_fixed_parameter_function():
+    f = FixedParameterFunction(quad, 2, 1, float(QUAD_MIN[1]))
+    # optimizing only x0 with x1 fixed at optimum recovers x0 optimum
+    xs = np.linspace(-1, 2, 201)
+    vals = [float(f(jnp.asarray([x]))) for x in xs]
+    np.testing.assert_allclose(xs[np.argmin(vals)], QUAD_MIN[0], atol=0.02)

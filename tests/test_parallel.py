@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import plate_inverse_problem_tpu as pip
+from plate_inverse_problem_tpu.parallel import (
+    make_mesh, shard_frequencies, sharded_fr_function, sharded_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    acc = pip.Accelerometer("AP1030")
+    geom = pip.Geometry(
+        "symm", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1
+    )
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    return pip.Problem(geom, mat, acc)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_forward_matches_single(problem):
+    mesh = make_mesh()
+    freqs = np.linspace(40, 600, 24)
+    fr_single = np.asarray(problem.solveForward(freqs))
+
+    fs = shard_frequencies(mesh, jnp.asarray(freqs))
+    fn = sharded_fr_function(problem, mesh)
+    fr_sharded = np.asarray(fn(fs, problem.parameters))[: freqs.size]
+    np.testing.assert_allclose(fr_sharded, fr_single, rtol=1e-9)
+
+
+def test_shard_frequencies_pads(problem):
+    mesh = make_mesh()
+    fs = shard_frequencies(mesh, jnp.asarray(np.linspace(1, 10, 13)))
+    assert fs.shape[0] % mesh.shape["freq"] == 0
+
+
+def test_mesh_2d():
+    mesh = make_mesh(dof_axis=2)
+    assert mesh.shape == {"freq": 4, "dof": 2}
+
+
+def test_sharded_train_step(problem):
+    mesh = make_mesh()
+    freqs = np.linspace(40, 400, 16)
+    ref = np.asarray(problem.solveForward(freqs))
+    step = sharded_train_step(problem, mesh)
+
+    fs = shard_frequencies(mesh, jnp.asarray(freqs))
+    rs = shard_frequencies(mesh, jnp.asarray(ref))
+    theta0 = problem.parameters * jnp.asarray([1.05, 1.05, 1.2])
+    loss, g, theta1 = step(fs, rs, theta0)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # gradient matches unsharded computation
+    loss_fn = problem.getLossFunction(freqs, ref, "MSE_LOG_AFC")
+    g_ref = np.asarray(jax.grad(loss_fn)(theta0))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-8)
+
+
+def test_sharded_train_step_2d_mesh(problem):
+    mesh = make_mesh(dof_axis=2)
+    freqs = np.linspace(40, 400, 8)
+    ref = np.asarray(problem.solveForward(freqs))
+    step = sharded_train_step(problem, mesh)
+    fs = shard_frequencies(mesh, jnp.asarray(freqs))
+    rs = shard_frequencies(mesh, jnp.asarray(ref))
+    loss, g, _ = step(fs, rs, problem.parameters * 1.01)
+    assert np.isfinite(float(loss))

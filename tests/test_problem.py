@@ -1,0 +1,206 @@
+"""End-to-end Problem tests on small meshes (CPU backend).
+
+Mirrors the reference's golden-value strategy (examples/basics.py) with
+framework-internal oracles: cross-engine agreement, cross-path agreement,
+gradient checks and a working inverse loop.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import plate_inverse_problem_tpu as pip
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    acc = pip.Accelerometer("AP1030")
+    geom = pip.Geometry(
+        "symm", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=2
+    )
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    return acc, geom, mat
+
+
+@pytest.fixture(scope="module")
+def problem_unsymm(small_setup):
+    acc, geom, mat = small_setup
+    return pip.Problem(geom, mat, acc)
+
+
+def test_forward_runs_and_is_finite(problem_unsymm):
+    freqs = np.linspace(40, 600, 20)
+    fr = np.asarray(problem_unsymm.solveForward(freqs))
+    assert fr.shape == (20,)
+    assert np.all(np.isfinite(fr))
+    assert np.all(fr > 0)  # magnitude response
+
+
+def test_engines_agree_forward(small_setup):
+    acc, geom, mat = small_setup
+    p_modal = pip.Problem(geom, mat, acc, engine="modal")
+    p_direct = pip.Problem(geom, mat, acc, engine="direct", chunk=4)
+    freqs = np.linspace(40, 600, 12)
+    fr_m = np.asarray(p_modal.solveForward(freqs))
+    fr_d = np.asarray(p_direct.solveForward(freqs))
+    np.testing.assert_allclose(fr_m, fr_d, rtol=1e-8)
+
+
+def test_symm_path_matches_unsymm_w_with_massless_accel(small_setup):
+    """The two assembly paths solve the same physics: with a massless,
+    zero-sensitivity accelerometer the 3-field response reduces to |w| at
+    the test point region (B=0 for isotropic, membrane decouples)."""
+    acc, geom, mat = small_setup
+    p_symm = pip.Problem(geom, mat, None)
+
+    ghost = pip.Accelerometer(
+        pip.AccelerometerParams(
+            mass=0.0, radius=acc.radius, height=1e-9,
+            effective_height=0.0, transverse_sensitivity=0.0,
+        )
+    )
+    geom2 = pip.Geometry(
+        "symm", ghost, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=2
+    )
+    p_3f = pip.Problem(geom2, mat, ghost)
+
+    freqs = np.linspace(60, 140, 8)  # below first resonance, smooth region
+    fr_s = np.abs(np.asarray(p_symm.solveForward(freqs)))
+    fr_3 = np.asarray(p_3f.solveForward(freqs))
+    # symm readout is a point value, 3-field readout is a small-disk mean ->
+    # agreement to ~1% in a smooth frequency band
+    np.testing.assert_allclose(fr_3, fr_s, rtol=2e-2)
+
+
+def test_loss_types_and_gradients(problem_unsymm):
+    p = problem_unsymm
+    freqs = np.linspace(40, 200, 6)
+    ref = np.asarray(p.solveForward(freqs))
+    for lt in ("MSE", "RMSE", "MSE_AFC", "MSE_LOG_AFC"):
+        loss = p.getLossFunction(freqs, ref * 1.1, lt)
+        val = float(loss(p.parameters))
+        assert np.isfinite(val) and val > 0, lt
+        g = np.asarray(jax.grad(loss)(p.parameters))
+        assert np.all(np.isfinite(g)), lt
+
+
+def test_loss_gradient_matches_fd(problem_unsymm):
+    p = problem_unsymm
+    freqs = np.linspace(40, 200, 5)
+    ref = np.asarray(p.solveForward(freqs))
+    loss = p.getLossFunction(freqs, ref, "MSE_LOG_AFC")
+
+    theta0 = np.asarray(p.parameters)
+    # perturbed point so gradient is nonzero
+    theta = theta0 * np.array([1.05, 0.97, 1.2])
+    g = np.asarray(jax.grad(loss)(jnp.asarray(theta)))
+
+    for i in range(3):
+        eps = abs(theta[i]) * 1e-5
+        tp = theta.copy(); tp[i] += eps
+        tm = theta.copy(); tm[i] -= eps
+        fd = (float(loss(jnp.asarray(tp))) - float(loss(jnp.asarray(tm)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-3, err_msg=f"param {i}")
+
+
+def test_hessian_of_loss(problem_unsymm):
+    p = problem_unsymm
+    freqs = np.linspace(40, 150, 4)
+    ref = np.asarray(p.solveForward(freqs))
+    loss = p.getLossFunction(freqs, ref * 1.05, "MSE_LOG_AFC")
+    H = np.asarray(jax.hessian(loss)(p.parameters))
+    assert H.shape == (3, 3)
+    assert np.all(np.isfinite(H))
+    np.testing.assert_allclose(H, H.T, rtol=1e-6)
+
+
+def test_inverse_gd_reduces_loss(problem_unsymm, tmp_path, monkeypatch):
+    monkeypatch.setenv("PIP_TPU_OUTPUT_DIR", str(tmp_path))
+    p = problem_unsymm
+    freqs = np.linspace(40, 300, 10)
+    fr = np.asarray(p.solveForward(freqs))
+    res = p.solveInverseLocal(
+        [0.05, 0.05, 0.1], "MSE_LOG_AFC", "grad_descent",
+        ref_fr=[freqs, fr], use_rel=True, case_name="test_",
+        N_steps=3, h=0.001, f_min=1e-12,
+    )
+    assert res.f_history[-1] <= res.f_history[0]
+    # report + log artifacts written
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".txt") for f in files)
+    assert any(f.endswith(".npz") for f in files)
+
+
+def test_inverse_with_scaling_and_compression(problem_unsymm, tmp_path, monkeypatch):
+    monkeypatch.setenv("PIP_TPU_OUTPUT_DIR", str(tmp_path))
+    p = problem_unsymm
+    freqs = np.linspace(40, 300, 40)
+    fr = np.asarray(p.solveForward(freqs))
+    res = p.solveInverse(
+        [0.02, 0.02, 0.05], "MSE_LOG_AFC", "gd",
+        ref_fr=[freqs, fr], use_rel=True, use_scaling=True,
+        compression=(True, 20), comp_alg=0, report=False, log=False,
+        N_steps=2, h=1e-5,
+    )
+    # result unscaled back to physical magnitudes; optimizer ran in O(1) space
+    assert np.asarray(res.x)[0] > 1e10
+    assert 0.5 < float(np.asarray(res.x_history[0])[0]) < 2.0
+
+
+def test_setup_folder(tmp_path, monkeypatch, small_setup):
+    """setups/<name>/setup.json convention (reference Problem.py:103-214)."""
+    import json
+
+    sdir = tmp_path / "setups" / "case1"
+    sdir.mkdir(parents=True)
+    setup = {
+        "geometry": {"template": "symm", "length": 100e-3, "width": 20e-3,
+                     "height": 2e-3, "accel_x": 10e-3},
+        "material": {"density": 7920.0, "atype": "isotropic",
+                     "E": 200e9, "G": 75e9, "beta": 0.003},
+        "accelerometer": "AP1030",
+    }
+    (sdir / "setup.json").write_text(json.dumps(setup))
+    freqs = np.linspace(40, 100, 4)
+    np.save(sdir / "freqs.npy", freqs)
+    np.save(sdir / "amp.npy", np.ones(4))
+
+    p = pip.Problem(spath=str(sdir))
+    assert p.accelerometer.mass == 0.0017
+    assert hasattr(p, "reference_fr")
+    fr = p.solveForward(freqs)
+    assert np.all(np.isfinite(np.asarray(fr)))
+
+
+def test_mode_picture(small_setup):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    acc, geom, mat = small_setup
+    p = pip.Problem(geom, mat, None)  # symmetric path
+    vals = p.getModePicture(100.0)
+    assert np.all(np.isfinite(vals))
+    assert vals.shape[0] == p.mesh.num_nodes
+
+
+def test_orthotropic_d4_uses_direct_engine(small_setup):
+    acc, geom, mat = small_setup
+    m4 = pip.OrthotropicD4(7920.0, E1=210e9, E2=200e9, G12=75e9, nu12=0.33,
+                           b1=0.003, b2=0.003, b3=0.004, b4=0.0)
+    p = pip.Problem(geom, m4, acc, chunk=4)
+    assert p._engine() == "direct"
+    fr = np.asarray(p.solveForward(np.linspace(40, 120, 4)))
+    assert np.all(np.isfinite(fr))
+
+
+def test_laminate_unsymm_path(small_setup):
+    """Non-mid-plane-symmetric SOL forces the 3-field path with B != 0."""
+    acc, geom, mat = small_setup
+    sol = pip.SOL(1600.0, angles=[0.0, 90.0], E1=150e9, E2=9e9, G12=5e9,
+                  nu12=0.3, beta=0.01)
+    assert not sol.is_mps
+    p = pip.Problem(geom, sol, acc)
+    fr = np.asarray(p.solveForward(np.linspace(40, 120, 4)))
+    assert np.all(np.isfinite(fr))

@@ -320,6 +320,7 @@ class Problem:
 
             def _get_afc(freqs, params):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
+                params = jnp.asarray(params).astype(rdt)
                 D = transform(params, omegas[0]).astype(cdt)
                 K_flat = jnp.einsum("k,kn->n", D, Ks.astype(cdt))
                 bK = jnp.einsum("k,kn->n", D, fKs.astype(cdt))
@@ -361,6 +362,7 @@ class Problem:
 
             def _get_afc(freqs, params):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
+                params = jnp.asarray(params).astype(rdt)
                 Av, Bv, Dv = transform(params, omegas[0])
                 Av, Bv, Dv = Av.astype(cdt), Bv.astype(cdt), Dv.astype(cdt)
                 K_flat = (

@@ -24,6 +24,14 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: amortizes XLA compiles across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/pip_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import plate_inverse_problem_tpu as pip
@@ -37,7 +45,7 @@ def main():
     acc = pip.Accelerometer("AP1030")
     geom = pip.Geometry(
         "sh_i", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
-        refine=2.0,
+        refine=1.0,
     )
     mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
 

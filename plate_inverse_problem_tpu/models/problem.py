@@ -55,6 +55,83 @@ from .geometry import Geometry, GeometryParams
 from .materials import Material, get_material
 
 
+class LossFunction:
+    """Scalar loss with pre-jitted derivative oracles.
+
+    Callable as ``f(params) -> scalar`` (drop-in for the reference's jitted
+    closure, Problem.py:980).  ``grad``/``value_and_grad``/``hessian``/
+    ``value_grad_hessian`` are jit-compiled with the operator pytree passed
+    as arguments (see Problem.getFRCore for why closures are not an option
+    on TPU).
+    """
+
+    def __init__(self, core, opdata, frequencies, reference_fr, func_type,
+                 scaling_params=None):
+        self._opdata = opdata
+        self._freqs = jnp.asarray(frequencies)
+        self._ref = jnp.asarray(reference_fr)
+        self.func_type = func_type
+
+        if scaling_params is None:
+            scaling = 1.0
+        else:
+            scaling = jnp.asarray(scaling_params)
+
+        if func_type == "MSE":
+            def reduction(fr, ref):
+                return jnp.mean(jnp.abs(fr - ref) ** 2)
+        elif func_type == "RMSE":
+            def reduction(fr, ref):
+                return jnp.mean(jnp.abs((fr - ref) / ref) ** 2)
+        elif func_type == "MSE_AFC":
+            def reduction(fr, ref):
+                return jnp.mean((jnp.abs(fr) - jnp.abs(ref)) ** 2)
+        elif func_type == "MSE_LOG_AFC":
+            def reduction(fr, ref):
+                return jnp.mean((jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2)
+        else:
+            raise ValueError(f'Function type "{func_type}" is not supported!')
+
+        def full(params, od, freqs, ref):
+            fr = core(freqs, params * scaling, od)
+            return reduction(fr, ref)
+
+        self._full = full
+        self._value = jax.jit(full)
+        self._vg = jax.jit(jax.value_and_grad(full))
+        self._g = jax.jit(jax.grad(full))
+        self._hess = None
+        self._vgh = None
+
+    def __call__(self, params):
+        return self._value(params, self._opdata, self._freqs, self._ref)
+
+    def value_and_grad(self, params):
+        return self._vg(params, self._opdata, self._freqs, self._ref)
+
+    def grad(self, params):
+        return self._g(params, self._opdata, self._freqs, self._ref)
+
+    def hessian(self, params):
+        if self._hess is None:
+            self._hess = jax.jit(jax.jacfwd(jax.grad(self._full)))
+        return self._hess(params, self._opdata, self._freqs, self._ref)
+
+    def value_grad_hessian(self, params):
+        """(f, grad, dense Hessian) — the trust-region model oracle
+        (reference Optimizers.py:125-136)."""
+        if self._vgh is None:
+            vg = jax.value_and_grad(self._full)
+            hess = jax.jacfwd(jax.grad(self._full))
+
+            def all3(params, od, freqs, ref):
+                v, g = vg(params, od, freqs, ref)
+                return v, g, hess(params, od, freqs, ref)
+
+            self._vgh = jax.jit(all3)
+        return self._vgh(params, self._opdata, self._freqs, self._ref)
+
+
 class Problem:
     """Holds geometry/material/sensor data, the assembled FEM operators and
     produces differentiable jit'd functions."""
@@ -287,60 +364,69 @@ class Problem:
     def _engine(self) -> str:
         if self.engine is not None:
             return self.engine
-        return "modal" if self.material.scalar_loss_factor else "direct"
+        if not self.material.scalar_loss_factor:
+            return "direct"
+        # The modal engine needs a generalized eigh.  On CPU (LAPACK) that is
+        # always the right call; on TPU, XLA's eigh *compile time* grows
+        # super-linearly with N (measured: 9s @ 512, 40s @ 1024, minutes
+        # beyond), while runtime is fast — so default to the constant-compile
+        # direct engine for larger systems until the custom TPU eigensolver
+        # lands.  Users can force either via Problem(engine=...).
+        if jax.default_backend() == "cpu" or self.n_free <= 1024:
+            return "modal"
+        return "direct"
 
     @functools.cache
-    def getFRFunction(self) -> Callable:
-        """jit-compiled (freqs, params) -> frequency response.
+    def getFRCore(self):
+        """(core, opdata): a *pure* jittable ``core(freqs, params, opdata)``
+        plus the device-resident operator pytree.
 
-        Symmetric path returns the complex amplitude at the test point
-        (Problem.py:391-417); the 3-field path returns the real accelerometer
-        magnitude response (Problem.py:432-495).
+        Every large operator array (sparsity indices, flat matrix stacks,
+        lifts, readout rows) travels as a runtime ARGUMENT, never a closure:
+        jit closures lower to HLO constants, and constant-index scatters make
+        the TPU AOT compiler pathological (measured: the same scatter
+        compiles in 2.5 s with argument indices vs. not at all with constant
+        indices).  Anything that must outer-jit around the FR computation —
+        losses, sharded train steps, the driver's compile check — composes
+        with ``core`` and threads ``opdata`` through explicitly.
         """
         prec = self.precision
         rdt, cdt = prec.real, prec.complex
         op = self.op
-        rows = jnp.asarray(op.pattern.rows)
-        cols = jnp.asarray(op.pattern.cols)
         n = op.n_free
         engine = self._engine()
         chunk = self.chunk
         n_modes = self.n_modes
         h = self.geometry.height
 
-        MIn = jnp.asarray(self.MInertia, rdt)
-        fIn = jnp.asarray(self.fInertia, rdt)
-
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)
-            Ks = jnp.asarray(op.Ks, rdt)          # (6, nnz)
-            fKs = jnp.asarray(op.fKs, rdt)        # (6, n)
-            c_vec = jnp.asarray(op.interpolation_vector, rdt)
-            c0 = jnp.asarray(op.interpolation_value_from_bc, rdt)
+            opdata = {
+                "rows": jnp.asarray(op.pattern.rows),
+                "cols": jnp.asarray(op.pattern.cols),
+                "MIn": jnp.asarray(self.MInertia, rdt),
+                "fIn": jnp.asarray(self.fInertia, rdt),
+                "Ks": jnp.asarray(op.Ks, rdt),          # (6, nnz)
+                "fKs": jnp.asarray(op.fKs, rdt),        # (6, n)
+                "c": jnp.asarray(op.interpolation_vector, rdt),
+                "c0": jnp.asarray(op.interpolation_value_from_bc, rdt),
+            }
 
-            def _get_afc(freqs, params):
+            def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
                 params = jnp.asarray(params).astype(rdt)
                 D = transform(params, omegas[0]).astype(cdt)
-                K_flat = jnp.einsum("k,kn->n", D, Ks.astype(cdt))
-                bK = jnp.einsum("k,kn->n", D, fKs.astype(cdt))
-                B = bK[None, :] - (omegas**2)[:, None] * fIn[None, :].astype(cdt)
-                U = sweep_solve(K_flat, MIn, B, omegas, rows, cols, n,
+                K_flat = jnp.einsum("k,kn->n", D, od["Ks"].astype(cdt))
+                bK = jnp.einsum("k,kn->n", D, od["fKs"].astype(cdt))
+                B = (bK[None, :]
+                     - (omegas**2)[:, None] * od["fIn"][None, :].astype(cdt))
+                U = sweep_solve(K_flat, od["MIn"], B, omegas,
+                                od["rows"], od["cols"], n,
                                 engine=engine, n_modes=n_modes, chunk=chunk)
-                return c0 + U @ c_vec
+                return od["c0"] + U @ od["c"]
 
         else:
             transform = self.material.get_ABD_transform(h)
-            A_stack = jnp.asarray(
-                op.mat_stack(["A" + s for s in MODULI_INDICES]), rdt)
-            B_stack = jnp.asarray(
-                op.mat_stack(["B" + s for s in MODULI_INDICES]), rdt)
-            D_stack = jnp.asarray(
-                op.mat_stack(["D" + s for s in MODULI_INDICES]), rdt)
-            fA = jnp.asarray(op.lift_stack(["A" + s for s in MODULI_INDICES]), rdt)
-            fB = jnp.asarray(op.lift_stack(["B" + s for s in MODULI_INDICES]), rdt)
-            fD = jnp.asarray(op.lift_stack(["D" + s for s in MODULI_INDICES]), rdt)
-
             acc = self.accelerometer
             eff = acc.effective_height * acc.height
             ts = acc.transverse_sensitivity
@@ -349,46 +435,79 @@ class Problem:
             # (Problem.py:454-462 takes means over the disk interpolants)
             def row(name):
                 R, r0 = op.readout[name]
-                return (jnp.asarray(R.mean(axis=0), rdt),
-                        jnp.asarray(r0.mean(), rdt))
+                return np.asarray(R.mean(axis=0)), float(r0.mean())
 
             cu, ou = row("u")
             cv, ov = row("v")
             cw, ow = row("w")
             cwx, owx = row("wx")
             cwy, owy = row("wy")
-            ru, r0u = cu - eff * cwx, ou - eff * owx
-            rv, r0v = cv - eff * cwy, ov - eff * owy
 
-            def _get_afc(freqs, params):
+            opdata = {
+                "rows": jnp.asarray(op.pattern.rows),
+                "cols": jnp.asarray(op.pattern.cols),
+                "MIn": jnp.asarray(self.MInertia, rdt),
+                "fIn": jnp.asarray(self.fInertia, rdt),
+                # (3, 6, nnz): A/B/D flat stiffness stacks
+                "ABD": jnp.asarray(np.stack([
+                    op.mat_stack(["A" + s for s in MODULI_INDICES]),
+                    op.mat_stack(["B" + s for s in MODULI_INDICES]),
+                    op.mat_stack(["D" + s for s in MODULI_INDICES]),
+                ]), rdt),
+                "fABD": jnp.asarray(np.stack([
+                    op.lift_stack(["A" + s for s in MODULI_INDICES]),
+                    op.lift_stack(["B" + s for s in MODULI_INDICES]),
+                    op.lift_stack(["D" + s for s in MODULI_INDICES]),
+                ]), rdt),
+                "ru": jnp.asarray(cu - eff * cwx, rdt),
+                "rv": jnp.asarray(cv - eff * cwy, rdt),
+                "rw": jnp.asarray(cw, rdt),
+                "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], rdt),
+            }
+
+            def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
                 params = jnp.asarray(params).astype(rdt)
                 Av, Bv, Dv = transform(params, omegas[0])
-                Av, Bv, Dv = Av.astype(cdt), Bv.astype(cdt), Dv.astype(cdt)
-                K_flat = (
-                    jnp.einsum("k,kn->n", Av, A_stack.astype(cdt))
-                    + jnp.einsum("k,kn->n", Bv, B_stack.astype(cdt))
-                    + jnp.einsum("k,kn->n", Dv, D_stack.astype(cdt))
-                )
-                bK = (
-                    jnp.einsum("k,kn->n", Av, fA.astype(cdt))
-                    + jnp.einsum("k,kn->n", Bv, fB.astype(cdt))
-                    + jnp.einsum("k,kn->n", Dv, fD.astype(cdt))
-                )
-                Brhs = bK[None, :] - (omegas**2)[:, None] * fIn[None, :].astype(cdt)
-                U = sweep_solve(K_flat, MIn, Brhs, omegas, rows, cols, n,
+                coeffs = jnp.stack([Av, Bv, Dv]).astype(cdt)  # (3, 6)
+                K_flat = jnp.einsum("mk,mkn->n", coeffs, od["ABD"].astype(cdt))
+                bK = jnp.einsum("mk,mkn->n", coeffs, od["fABD"].astype(cdt))
+                B = (bK[None, :]
+                     - (omegas**2)[:, None] * od["fIn"][None, :].astype(cdt))
+                U = sweep_solve(K_flat, od["MIn"], B, omegas,
+                                od["rows"], od["cols"], n,
                                 engine=engine, n_modes=n_modes, chunk=chunk)
 
-                u = U @ ru + r0u
-                v = U @ rv + r0v
-                w = U @ cw + ow
+                u = U @ od["ru"] + od["r0"][0]
+                v = U @ od["rv"] + od["r0"][1]
+                w = U @ od["rw"] + od["r0"][2]
 
                 u_abs = jnp.abs(u) * ts
                 v_abs = jnp.abs(v) * ts
                 w_abs = jnp.abs(w)
                 return jnp.sqrt(u_abs**2 + v_abs**2 + w_abs**2)
 
-        return jax.jit(_get_afc)
+        return core, opdata
+
+    @functools.cache
+    def getFRFunction(self) -> Callable:
+        """(freqs, params) -> frequency response, jit-compiled.
+
+        Symmetric path returns the complex amplitude at the test point
+        (Problem.py:391-417); the 3-field path returns the real accelerometer
+        magnitude response (Problem.py:432-495).  The returned callable
+        exposes ``.core`` and ``.opdata`` for composition (losses, sharding,
+        the driver entry) without re-capturing operator arrays as constants.
+        """
+        core, opdata = self.getFRCore()
+        jitted = jax.jit(core)
+
+        def fn(freqs, params):
+            return jitted(freqs, params, opdata)
+
+        fn.core = core
+        fn.opdata = opdata
+        return fn
 
     # ------------------------------------------------------------------
 
@@ -417,41 +536,22 @@ class Problem:
         reference_fr: jax.Array,
         func_type: str,
         scaling_params: jax.Array = None,
-    ) -> Callable:
+    ) -> "LossFunction":
         """Loss factory; types MSE / RMSE / MSE_AFC / MSE_LOG_AFC
-        (Problem.py:933-980)."""
+        (Problem.py:933-980).
+
+        Returns a :class:`LossFunction` — a plain ``f(params) -> scalar``
+        callable that additionally carries pre-jitted ``.grad``,
+        ``.value_and_grad``, ``.hessian`` oracles (all threading the operator
+        pytree as arguments, see ``getFRCore``).  The optimizers duck-type on
+        these, so the whole inner iteration stays compiled without baking
+        multi-megabyte operator constants into outer jits.
+        """
         assert frequencies.shape[0] == reference_fr.shape[0]
-        fr_function = self.getFRFunction()
-        frequencies = jnp.asarray(frequencies)
-        reference_fr = jnp.asarray(reference_fr)
-
-        if scaling_params is None:
-            scaling_params = 1.0
-        else:
-            scaling_params = jnp.asarray(scaling_params)
-
-        if func_type == "MSE":
-            def loss(params):
-                fr = fr_function(frequencies, params * scaling_params)
-                return jnp.mean(jnp.abs(fr - reference_fr) ** 2)
-        elif func_type == "RMSE":
-            def loss(params):
-                fr = fr_function(frequencies, params * scaling_params)
-                return jnp.mean(jnp.abs((fr - reference_fr) / reference_fr) ** 2)
-        elif func_type == "MSE_AFC":
-            def loss(params):
-                fr = fr_function(frequencies, params * scaling_params)
-                return jnp.mean((jnp.abs(fr) - jnp.abs(reference_fr)) ** 2)
-        elif func_type == "MSE_LOG_AFC":
-            def loss(params):
-                fr = fr_function(frequencies, params * scaling_params)
-                return jnp.mean(
-                    (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(reference_fr))) ** 2
-                )
-        else:
-            raise ValueError(f'Function type "{func_type}" is not supported!')
-
-        return jax.jit(loss)
+        core, opdata = self.getFRCore()
+        return LossFunction(
+            core, opdata, frequencies, reference_fr, func_type, scaling_params
+        )
 
     # ------------------------------------------------------------------
 
@@ -564,11 +664,9 @@ class Problem:
                 opt_kwargs["constraints"] = self.material.get_constraints(
                     np.asarray(scaling_params)[:, 0]
                 )
-            loss_grad = jax.jit(jax.grad(loss))
-            loss_hess = jax.jit(jax.jacobian(loss_grad))
             options = opt_kwargs.get("options", {})
-            options["jac"] = loss_grad
-            options["hess"] = loss_hess
+            options["jac"] = loss.grad
+            options["hess"] = loss.hessian
             opt_kwargs["options"] = options
         else:
             raise ValueError(f"Optimizer type `{optimizer}` is not supported!")
@@ -683,10 +781,11 @@ class Problem:
         freqs = jnp.asarray([freq], prec.real)
         transform = self.material.get_D_transform(self.geometry.height)
 
+        # eager (un-jitted) single-frequency solve — visualization path
         rows = jnp.asarray(op.pattern.rows)
         cols = jnp.asarray(op.pattern.cols)
         omegas = 2.0 * jnp.pi * freqs
-        D = transform(jnp.asarray(params), omegas[0]).astype(prec.complex)
+        D = transform(jnp.asarray(params, prec.real), omegas[0]).astype(prec.complex)
         K_flat = jnp.einsum("k,kn->n", D, jnp.asarray(op.Ks, prec.complex))
         bK = jnp.einsum("k,kn->n", D, jnp.asarray(op.fKs, prec.complex))
         B = bK[None, :] - (omegas**2)[:, None] * jnp.asarray(

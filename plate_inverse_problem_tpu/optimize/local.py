@@ -99,8 +99,25 @@ def solve_trust_region_model(B, g, delta, rtol=1e-6, max_iter=100):
     return sd, lam, predicted_improvement
 
 
+def _value_and_grad_of(f):
+    """Duck-typed (value, grad) oracle.
+
+    Loss objects from ``Problem.getLossFunction`` carry a pre-jitted
+    ``value_and_grad`` (with the FEM operator pytree threaded as arguments);
+    plain callables fall back to ``jax.value_and_grad``.  The fallback is NOT
+    outer-jitted: the heavy compute inside framework losses is already
+    compiled, and wrapping it again would re-embed the operator arrays as
+    HLO constants (pathological on TPU — see Problem.getFRCore)."""
+    if hasattr(f, "value_and_grad"):
+        return f.value_and_grad
+    return jax.value_and_grad(f)
+
+
 def get_model_newt(f):
-    """Jit'd (value, grad, dense Hessian) oracle (reference Optimizers.py:125-136)."""
+    """(value, grad, dense Hessian) oracle (reference Optimizers.py:125-136)."""
+    if hasattr(f, "value_grad_hessian"):
+        return f.value_grad_hessian
+
     gr = jax.grad(f)
 
     def val_gr(x):
@@ -186,7 +203,7 @@ def optimize_trust_region(f, x_0, N_steps=10, delta_max=1.0, delta=None,
 
 def optimize_gd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     """Plain gradient descent (reference Optimizers.py:231-254)."""
-    value_and_gradient = jax.jit(jax.value_and_grad(f))
+    value_and_gradient = _value_and_grad_of(f)
     x = x_0
     x_history, f_history, grad_history = [], [], []
     status = "Running"
@@ -208,7 +225,7 @@ def optimize_gd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
 
 def optimize_cd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     """Coordinate descent via masked full gradients (reference Optimizers.py:257-287)."""
-    value_and_gradient = jax.jit(jax.value_and_grad(f))
+    value_and_gradient = _value_and_grad_of(f)
     x = x_0
     n = x_0.size
     assert n >= 2
@@ -236,7 +253,7 @@ def optimize_cd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
 def optimize_cd_mem(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     """Memory-lean coordinate descent using the fixed-parameter wrapper
     (reference Optimizers.py:290-323)."""
-    f_ = jax.jit(f)
+    f_ = f if hasattr(f, "value_and_grad") else jax.jit(f)
     x = x_0
     n = x_0.size
     assert n >= 2
@@ -272,8 +289,12 @@ def optimize_cd_mem2(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     def fixed(x, i, other):
         return f(jnp.insert(other, i, x))
 
-    f_ = jax.jit(fixed, static_argnums=1)
-    vg = jax.jit(jax.value_and_grad(fixed), static_argnums=1)
+    if hasattr(f, "value_and_grad"):
+        f_ = fixed
+        vg = jax.value_and_grad(fixed)
+    else:
+        f_ = jax.jit(fixed, static_argnums=1)
+        vg = jax.jit(jax.value_and_grad(fixed), static_argnums=1)
 
     x = x_0
     n = x_0.size

@@ -21,7 +21,7 @@ def optimize_newton(f, x_0, N_steps=20, damping=1e-8, f_min=1e-16,
                     backtrack=0.5, max_backtracks=20):
     """Damped Newton with Armijo backtracking."""
     update_model = get_model_newt(f)
-    f_jit = jax.jit(f)
+    f_jit = f if hasattr(f, "value_and_grad") else jax.jit(f)
 
     x = jnp.asarray(x_0)
     x_history, f_history, grad_history = [], [], []
@@ -79,13 +79,18 @@ def optimize_lbfgs(f, x_0, N_steps=100, f_min=1e-16, **lbfgs_kwargs):
     cur_f = None
     k = 0
 
-    @jax.jit
     def step(x, state):
         value, grad = value_and_grad(x, state=state)
         updates, state = solver.update(
             grad, state, x, value=value, grad=grad, value_fn=f
         )
         return optax.apply_updates(x, updates), state, value, grad
+
+    if not hasattr(f, "value_and_grad"):
+        # plain callables: jit the whole step; framework loss objects stay
+        # eager at this level (their heavy compute is already compiled, and
+        # an outer jit would re-embed operator arrays as HLO constants)
+        step = jax.jit(step)
 
     for k in range(N_steps):
         x_new, state, cur_f, g = step(x, state)

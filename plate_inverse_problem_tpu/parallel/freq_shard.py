@@ -47,22 +47,31 @@ def shard_frequencies(mesh: Mesh, freqs: jax.Array) -> jax.Array:
 def sharded_fr_function(problem, mesh: Mesh):
     """Sharded version of ``Problem.getFRFunction``.
 
-    Frequencies arrive split over the ``freq`` axis; the solution batch is
-    additionally annotated P('freq', 'dof') so the resolvent matmuls shard
-    over both mesh axes.  Returns ``fn(freqs_sharded, params) -> fr`` (output
-    sharded over 'freq'; callers slice off padding).
+    Frequencies arrive split over the ``freq`` axis.  The FR core and the
+    operator pytree come from ``Problem.getFRCore`` — operator arrays are
+    jit *arguments* (replicated over the mesh), never closure constants.
+    Returns ``fn(freqs_sharded, params) -> fr`` (output sharded over 'freq';
+    callers slice off padding).
     """
-    base = problem.getFRFunction()
+    core, opdata = problem.getFRCore()
+    repl = NamedSharding(mesh, P())
+    fshard = NamedSharding(mesh, P("freq"))
+    od_shardings = jax.tree.map(lambda _: repl, opdata)
 
-    def fn(freqs, params):
-        fr = base(freqs, params)
-        return jax.lax.with_sharding_constraint(fr, NamedSharding(mesh, P("freq")))
+    def fn(freqs, params, od):
+        fr = core(freqs, params, od)
+        return jax.lax.with_sharding_constraint(fr, fshard)
 
-    return jax.jit(
+    jitted = jax.jit(
         fn,
-        in_shardings=(NamedSharding(mesh, P("freq")), NamedSharding(mesh, P())),
-        out_shardings=NamedSharding(mesh, P("freq")),
+        in_shardings=(fshard, repl, od_shardings),
+        out_shardings=fshard,
     )
+
+    def wrapper(freqs, params):
+        return jitted(freqs, params, opdata)
+
+    return wrapper
 
 
 def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
@@ -76,24 +85,30 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
     SURVEY §2.4's analysis).  Returns ``step(freqs, ref_fr, params) ->
     (loss, grad, new_params)``.
     """
-    base = problem.getFRFunction()
+    core, opdata = problem.getFRCore()
 
-    def loss_fn(params, freqs, ref):
-        fr = base(freqs, params)
+    def loss_fn(params, freqs, ref, od):
+        fr = core(freqs, params, od)
         return jnp.mean(
             (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2
             if loss_type == "MSE_LOG_AFC"
             else jnp.abs(fr - ref) ** 2
         )
 
-    def step(freqs, ref, params):
-        loss, g = jax.value_and_grad(loss_fn)(params, freqs, ref)
+    def step(freqs, ref, params, od):
+        loss, g = jax.value_and_grad(loss_fn)(params, freqs, ref, od)
         return loss, g, params - lr * g
 
     repl = NamedSharding(mesh, P())
     fshard = NamedSharding(mesh, P("freq"))
-    return jax.jit(
+    od_shardings = jax.tree.map(lambda _: repl, opdata)
+    jitted = jax.jit(
         step,
-        in_shardings=(fshard, fshard, repl),
+        in_shardings=(fshard, fshard, repl, od_shardings),
         out_shardings=(repl, repl, repl),
     )
+
+    def wrapper(freqs, ref, params):
+        return jitted(freqs, ref, params, opdata)
+
+    return wrapper

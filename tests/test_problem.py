@@ -43,7 +43,7 @@ def test_engines_agree_forward(small_setup):
     freqs = np.linspace(40, 600, 12)
     fr_m = np.asarray(p_modal.solveForward(freqs))
     fr_d = np.asarray(p_direct.solveForward(freqs))
-    np.testing.assert_allclose(fr_m, fr_d, rtol=1e-8)
+    np.testing.assert_allclose(fr_m, fr_d, rtol=1e-7)
 
 
 def test_symm_path_matches_unsymm_w_with_massless_accel(small_setup):

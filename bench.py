@@ -83,12 +83,16 @@ def main():
     import scipy.sparse.linalg as spla
 
     op = p.op
-    D = np.asarray(mat.get_D_transform(geom.height)(np.asarray(p.parameters), 0.0))
-    names = ["A", "B", "D"]
     from plate_inverse_problem_tpu.fem.assembly import MODULI_INDICES
 
-    Av, Bv, Dv = (np.asarray(x) for x in
-                  mat.get_ABD_transform(geom.height)(np.asarray(p.parameters), 0.0))
+    # evaluate the (f64, complex128) transform on the host CPU device
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        Av, Bv, Dv = (
+            np.asarray(x)
+            for x in mat.get_ABD_transform(geom.height)(
+                np.asarray(p.parameters), 0.0
+            )
+        )
     K_flat = np.zeros(op.pattern.nnz, dtype=np.complex128)
     bK = np.zeros(p.n_free, dtype=np.complex128)
     for i, s in enumerate(MODULI_INDICES):
@@ -124,18 +128,18 @@ def main():
     cols = jnp.asarray(op.pattern.cols)
     from plate_inverse_problem_tpu.ops.sweep import sweep_solve
 
-    B1 = (bK - om**2 * fIn)[None, :]
+    B1 = (bK - om**2 * fIn)[None, :].astype(p.precision.complex)
     U1 = np.asarray(
         sweep_solve(
-            jnp.asarray(K_flat, p.precision.complex),
-            jnp.asarray(M_flat, p.precision.real),
-            jnp.asarray(B1, p.precision.complex),
-            jnp.asarray([om], p.precision.real),
-            rows, cols, p.n_free, engine="modal",
+            jnp.asarray(K_flat.astype(p.precision.complex)),
+            jnp.asarray(M_flat.astype(p.precision.real)),
+            jnp.asarray(B1),
+            jnp.asarray(np.asarray([om], p.precision.real)),
+            rows, cols, p.n_free, engine=p._engine(), chunk=1,
         )
     )[0]
     rel = np.linalg.norm(U1 - u) / np.linalg.norm(u)
-    log(f"modal vs sparse-LU rel error @ {freqs[idx]:.0f} Hz: {rel:.2e}")
+    log(f"{p._engine()} engine vs sparse-LU rel error @ {freqs[idx]:.0f} Hz: {rel:.2e}")
 
     out = {
         "metric": "FRF solves/sec/chip (512-freq sweep, sh_i plate, "

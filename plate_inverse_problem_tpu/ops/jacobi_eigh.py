@@ -1,0 +1,156 @@
+"""Block-Jacobi symmetric eigensolver — a TPU-shaped eigh.
+
+Why this exists: the modal sweep engine needs one generalized symmetric
+eigendecomposition per parameter set, but XLA:TPU's built-in ``eigh`` has
+compile times that grow superlinearly with N on the AOT stack (measured
+9 s @ N=512, 40 s @ N=1024, minutes beyond) — unusable inside an inverse
+loop's jit.  Classical two-sided block Jacobi reformulates the
+eigendecomposition as a fixed-shape loop of MXU-friendly operations:
+
+* per (p, q) block pair: eigh of a small fixed-size 2b x 2b submatrix
+  (compile cost independent of N), then N x 2b panel GEMMs applying the
+  rotation to A and accumulating the eigenvector matrix V;
+* sweeps over all block pairs until the off-diagonal mass vanishes —
+  quadratic convergence once locally dominant.
+
+Everything lowers to ``while_loop``/``scan`` + ``dynamic_slice`` +
+``dot_general``: compile time is O(1) in N, runtime ~4 N^3 FLOPs per sweep
+on the MXU.
+
+The generalized problem K z = lam M z reduces via Cholesky
+(``generalized_jacobi_eigh``), mirroring ``ops.spectral.generalized_eigh``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+
+def _pair_schedule(n_blocks: int) -> list[tuple[int, int]]:
+    """Round-robin tournament schedule covering every block pair once."""
+    nb = n_blocks if n_blocks % 2 == 0 else n_blocks + 1
+    players = list(range(nb))
+    rounds = []
+    for _ in range(nb - 1):
+        pairs = []
+        for i in range(nb // 2):
+            a, b = players[i], players[nb - 1 - i]
+            if a < n_blocks and b < n_blocks:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return [p for rnd in rounds for p in rnd]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "max_sweeps"))
+def jacobi_eigh(A, block: int = 128, max_sweeps: int = 14, tol: float = 0.0):
+    """Eigendecomposition of a symmetric matrix by two-sided block Jacobi.
+
+    Returns (eigenvalues ascending, eigenvectors as columns), matching
+    ``jnp.linalg.eigh``.  N is padded to a multiple of ``block`` internally;
+    padding directions carry distinct eigenvalues far above the Gershgorin
+    bound of A, so the true spectrum is exactly the n smallest eigenvalues
+    of the padded problem and is recovered by value.
+
+    ``tol``: relative off-diagonal Frobenius tolerance for early exit
+    (0.0 -> machine-eps-scaled default).  Sweeps stop at ``max_sweeps``.
+    """
+    n = A.shape[0]
+    dt = A.dtype
+    nb = -(-n // block)
+    npad = nb * block
+
+    A = 0.5 * (A + A.T)
+    if tol == 0.0:
+        tol = 20 * jnp.finfo(dt).eps
+
+    # Gershgorin bound -> pad eigenvalues strictly above the spectrum
+    bound = jnp.max(jnp.sum(jnp.abs(A), axis=1)) + 1.0
+    Ap = jnp.zeros((npad, npad), dt)
+    Ap = Ap.at[:n, :n].set(A)
+    if npad > n:
+        pad_idx = jnp.arange(n, npad)
+        pad_vals = bound * (2.0 + jnp.arange(npad - n, dtype=dt))
+        Ap = Ap.at[pad_idx, pad_idx].set(pad_vals)
+
+    if nb == 1:
+        lam, V = jnp.linalg.eigh(Ap)  # tiny (<= block) — XLA eigh is fine
+        return lam[:n], V[:n, :n]
+
+    pairs = jnp.asarray(_pair_schedule(nb), dtype=jnp.int32)  # (P, 2)
+
+    def rotate(carry, pq):
+        Acur, Vcur = carry
+        pi = pq[0] * jnp.int32(block)
+        qi = pq[1] * jnp.int32(block)
+
+        App = lax.dynamic_slice(Acur, (pi, pi), (block, block))
+        Apq = lax.dynamic_slice(Acur, (pi, qi), (block, block))
+        Aqq = lax.dynamic_slice(Acur, (qi, qi), (block, block))
+        G = jnp.block([[App, Apq], [Apq.T, Aqq]])
+        G = 0.5 * (G + G.T)
+        _, J = jnp.linalg.eigh(G)  # fixed 2b x 2b — compile cost O(1) in N
+
+        Jpp, Jpq = J[:block, :block], J[:block, block:]
+        Jqp, Jqq = J[block:, :block], J[block:, block:]
+
+        def apply_cols(Mat):
+            Cp = lax.dynamic_slice(Mat, (jnp.int32(0), pi), (npad, block))
+            Cq = lax.dynamic_slice(Mat, (jnp.int32(0), qi), (npad, block))
+            Cp_new = Cp @ Jpp + Cq @ Jqp
+            Cq_new = Cp @ Jpq + Cq @ Jqq
+            Mat = lax.dynamic_update_slice(Mat, Cp_new, (jnp.int32(0), pi))
+            return lax.dynamic_update_slice(Mat, Cq_new, (jnp.int32(0), qi))
+
+        Acur = apply_cols(Acur)
+        # row update: A[[p,q], :] <- J^T @ A[[p,q], :]
+        Rp = lax.dynamic_slice(Acur, (pi, jnp.int32(0)), (block, npad))
+        Rq = lax.dynamic_slice(Acur, (qi, jnp.int32(0)), (block, npad))
+        Rp_new = Jpp.T @ Rp + Jqp.T @ Rq
+        Rq_new = Jpq.T @ Rp + Jqq.T @ Rq
+        Acur = lax.dynamic_update_slice(Acur, Rp_new, (pi, jnp.int32(0)))
+        Acur = lax.dynamic_update_slice(Acur, Rq_new, (qi, jnp.int32(0)))
+
+        Vcur = apply_cols(Vcur)
+        return (Acur, Vcur), None
+
+    def off_norm(Acur):
+        d = jnp.diagonal(Acur)
+        return jnp.sqrt(jnp.maximum(
+            jnp.sum(Acur * Acur) - jnp.sum(d * d), 0.0))
+
+    ref_norm = jnp.sqrt(jnp.sum(Ap * Ap))
+
+    def cond(state):
+        _, _, sweep, off = state
+        return jnp.logical_and(sweep < max_sweeps, off > tol * ref_norm)
+
+    def body(state):
+        Acur, Vcur, sweep, _ = state
+        (Acur, Vcur), _ = lax.scan(rotate, (Acur, Vcur), pairs)
+        return (Acur, Vcur, sweep + 1, off_norm(Acur))
+
+    V0 = jnp.eye(npad, dtype=dt)
+    Afin, V, _, _ = lax.while_loop(
+        cond, body, (Ap, V0, jnp.int32(0), off_norm(Ap))
+    )
+
+    lam = jnp.diagonal(Afin)
+    order = jnp.argsort(lam)[:n]  # pad eigenvalues are provably the largest
+    return lam[order], V[:n, order]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "max_sweeps"))
+def generalized_jacobi_eigh(K, M, block: int = 128, max_sweeps: int = 14):
+    """K Z = M Z diag(lam) with Z^T M Z = I via Cholesky reduction + block
+    Jacobi (drop-in for ``ops.spectral.generalized_eigh`` on TPU)."""
+    L = jnp.linalg.cholesky(M)
+    Y = solve_triangular(L, K, lower=True)
+    C = solve_triangular(L, Y.T, lower=True).T
+    lam, Q = jacobi_eigh(0.5 * (C + C.T), block=block, max_sweeps=max_sweeps)
+    Z = solve_triangular(L.T, Q, lower=False)
+    return lam, Z

@@ -28,13 +28,19 @@ def generalized_eigh(K, M):
     return lam, Z
 
 
-def modal_basis_from_flat(K_flat_real, M_flat, rows, cols, n: int):
+def modal_basis_from_flat(K_flat_real, M_flat, rows, cols, n: int,
+                          method: str = "auto"):
     """Eigenbasis of the *real part* of the flat stiffness against the mass.
 
     Gradients are stopped — the basis is numerical data used to apply exact
     ``A^{-1}``; parameter sensitivities flow through the implicit-diff rule of
     the sweep, never through eigh (which is unstable under eigenvalue
     crossings as the optimizer moves theta).
+
+    ``method``: 'lapack' (XLA/LAPACK eigh), 'jacobi' (the block-Jacobi
+    solver in ``ops.jacobi_eigh`` — O(1)-in-N compile time, MXU-bound), or
+    'auto' (lapack on CPU, jacobi on accelerators where XLA eigh compile
+    time explodes with N).
     """
     from .scatter import to_dense
 
@@ -42,4 +48,11 @@ def modal_basis_from_flat(K_flat_real, M_flat, rows, cols, n: int):
     Md = to_dense(jax.lax.stop_gradient(M_flat), rows, cols, n)
     Kr = 0.5 * (Kr + Kr.T)
     Md = 0.5 * (Md + Md.T)
+
+    if method == "auto":
+        method = "lapack" if jax.default_backend() == "cpu" else "jacobi"
+    if method == "jacobi":
+        from .jacobi_eigh import generalized_jacobi_eigh
+
+        return generalized_jacobi_eigh(Kr, Md)
     return generalized_eigh(Kr, Md)

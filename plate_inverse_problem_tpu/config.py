@@ -25,6 +25,15 @@ import numpy as np
 if os.environ.get("PIP_TPU_DISABLE_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 operand truncation, which caps linear-solver
+# accuracy at ~1e-2 — useless for 1e-6-parity FEM solves.  Force true-f32
+# matmul precision; the bf16 fast path can be re-enabled per-op where it is
+# numerically safe (set PIP_TPU_MATMUL_PRECISION to override).
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("PIP_TPU_MATMUL_PRECISION", "highest"),
+)
+
 
 @dataclass(frozen=True)
 class Precision:

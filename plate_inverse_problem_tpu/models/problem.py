@@ -399,16 +399,37 @@ class Problem:
         n_modes = self.n_modes
         h = self.geometry.height
 
+        # Symmetric diagonal equilibration.  The 3-field plate operator mixes
+        # membrane (~E*h) and bending (~E*h^3) scales plus the h^-4 stiffness
+        # growth of the biharmonic operator: raw condition numbers reach 1e7+
+        # and sink f32 solves entirely.  Scaling A -> S A S with
+        # S = diag(1/sqrt(K_ii(theta_ref))) is computed once at init from the
+        # reference parameters (scale ratios barely move with theta) and
+        # applied to the flat data inside the jit — row/col gathers, O(nnz).
+        diag_mask = op.pattern.rows == op.pattern.cols
+        diag_slots = np.nonzero(diag_mask)[0]
+        diag_rows = op.pattern.rows[diag_slots]
+        K_ref = self._reference_stiffness_flat()
+        dvals = np.zeros(n)
+        np.add.at(dvals, diag_rows, np.abs(K_ref[diag_slots]))
+        dvals = np.where(dvals > 0, dvals, 1.0)
+        scale_vec = 1.0 / np.sqrt(dvals)
+
+        # fold the equilibration into the static operator data: scaled
+        # system solves for u~ = S^-1 u, so lifts scale by S and readout
+        # rows absorb the back-scaling — zero cost inside the jit.
+        ss = scale_vec[op.pattern.rows] * scale_vec[op.pattern.cols]
+
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)
             opdata = {
                 "rows": jnp.asarray(op.pattern.rows),
                 "cols": jnp.asarray(op.pattern.cols),
-                "MIn": jnp.asarray(self.MInertia, rdt),
-                "fIn": jnp.asarray(self.fInertia, rdt),
-                "Ks": jnp.asarray(op.Ks, rdt),          # (6, nnz)
-                "fKs": jnp.asarray(op.fKs, rdt),        # (6, n)
-                "c": jnp.asarray(op.interpolation_vector, rdt),
+                "MIn": jnp.asarray(self.MInertia * ss, rdt),
+                "fIn": jnp.asarray(self.fInertia * scale_vec, rdt),
+                "Ks": jnp.asarray(op.Ks * ss[None, :], rdt),      # (6, nnz)
+                "fKs": jnp.asarray(op.fKs * scale_vec[None, :], rdt),
+                "c": jnp.asarray(op.interpolation_vector * scale_vec, rdt),
                 "c0": jnp.asarray(op.interpolation_value_from_bc, rdt),
             }
 
@@ -446,22 +467,22 @@ class Problem:
             opdata = {
                 "rows": jnp.asarray(op.pattern.rows),
                 "cols": jnp.asarray(op.pattern.cols),
-                "MIn": jnp.asarray(self.MInertia, rdt),
-                "fIn": jnp.asarray(self.fInertia, rdt),
-                # (3, 6, nnz): A/B/D flat stiffness stacks
+                "MIn": jnp.asarray(self.MInertia * ss, rdt),
+                "fIn": jnp.asarray(self.fInertia * scale_vec, rdt),
+                # (3, 6, nnz): A/B/D flat stiffness stacks (equilibrated)
                 "ABD": jnp.asarray(np.stack([
                     op.mat_stack(["A" + s for s in MODULI_INDICES]),
                     op.mat_stack(["B" + s for s in MODULI_INDICES]),
                     op.mat_stack(["D" + s for s in MODULI_INDICES]),
-                ]), rdt),
+                ]) * ss[None, None, :], rdt),
                 "fABD": jnp.asarray(np.stack([
                     op.lift_stack(["A" + s for s in MODULI_INDICES]),
                     op.lift_stack(["B" + s for s in MODULI_INDICES]),
                     op.lift_stack(["D" + s for s in MODULI_INDICES]),
-                ]), rdt),
-                "ru": jnp.asarray(cu - eff * cwx, rdt),
-                "rv": jnp.asarray(cv - eff * cwy, rdt),
-                "rw": jnp.asarray(cw, rdt),
+                ]) * scale_vec[None, None, :], rdt),
+                "ru": jnp.asarray((cu - eff * cwx) * scale_vec, rdt),
+                "rv": jnp.asarray((cv - eff * cwy) * scale_vec, rdt),
+                "rw": jnp.asarray(cw * scale_vec, rdt),
                 "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], rdt),
             }
 
@@ -488,6 +509,38 @@ class Problem:
                 return jnp.sqrt(u_abs**2 + v_abs**2 + w_abs**2)
 
         return core, opdata
+
+    def _reference_stiffness_flat(self) -> np.ndarray:
+        """Flat |Re K(theta_ref)| data used to build the equilibration scale."""
+        op = self.op
+        if getattr(self, "parameters", None) is None:
+            if self.is_symmetric_path:
+                return np.abs(op.Ks).sum(axis=0)
+            return sum(
+                np.abs(v) for k, v in op.mats.items() if k[0] in "ABD"
+            )
+        theta = np.asarray(self.parameters, np.float64)
+        h = self.geometry.height
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu0 = None
+        with jax.default_device(cpu0):
+            if self.is_symmetric_path:
+                D = np.asarray(self.material.get_D_transform(h)(theta, 0.0))
+                return np.abs(np.einsum("k,kn->n", D.real, op.Ks))
+            Av, Bv, Dv = (
+                np.asarray(x)
+                for x in self.material.get_ABD_transform(h)(theta, 0.0)
+            )
+        out = np.zeros(op.pattern.nnz)
+        for i, s in enumerate(MODULI_INDICES):
+            out += (
+                Av[i].real * op.mats["A" + s]
+                + Bv[i].real * op.mats["B" + s]
+                + Dv[i].real * op.mats["D" + s]
+            )
+        return np.abs(out)
 
     @functools.cache
     def getFRFunction(self) -> Callable:

@@ -98,6 +98,8 @@ class _COOBuilder:
         self.entries.setdefault(name, []).append((r, c, vals.ravel()))
 
     def finalize(self) -> tuple[SparsePattern, dict[str, np.ndarray]]:
+        from .. import native
+
         all_r = np.concatenate([r for lst in self.entries.values() for (r, c, v) in lst])
         all_c = np.concatenate([c for lst in self.entries.values() for (r, c, v) in lst])
         pattern = SparsePattern.union(self.n, all_r, all_c)
@@ -105,7 +107,11 @@ class _COOBuilder:
         for name, lst in self.entries.items():
             data = np.zeros(pattern.nnz, dtype=np.float64)
             for (r, c, v) in lst:
-                np.add.at(data, pattern.slots(r, c), v)
+                slots = pattern.slots(r, c)
+                if native.available():
+                    data += native.coo_accumulate(slots, v, pattern.nnz)
+                else:
+                    np.add.at(data, slots, v)
             mats[name] = data
         return pattern, mats
 

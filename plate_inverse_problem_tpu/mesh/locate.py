@@ -18,8 +18,17 @@ def locate_points(mesh: TriangleMesh, points: np.ndarray, tol: float = 1e-9):
     Points outside the mesh are snapped to the triangle with the least
     negative barycentric coordinate (consistent with FreeFEM's behaviour of
     extending the FE function by the nearest element for interpolation).
+
+    Uses the native grid-accelerated kernel when available
+    (``native.pip_locate_points``); falls back to the vectorised numpy scan.
     """
     points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+
+    from .. import native
+
+    res = native.locate_points(mesh.nodes, mesh.triangles, points)
+    if res is not None:
+        return res
     P = mesh.nodes[mesh.triangles]  # (T, 3, 2)
     a, b, c = P[:, 0], P[:, 1], P[:, 2]
     det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (

@@ -511,14 +511,13 @@ class Problem:
         return core, opdata
 
     def _reference_stiffness_flat(self) -> np.ndarray:
-        """Flat |Re K(theta_ref)| data used to build the equilibration scale."""
+        """Flat (signed) Re K(theta_ref) data: equilibration scale source and
+        the reference operator for the mixed engine's band basis."""
         op = self.op
         if getattr(self, "parameters", None) is None:
             if self.is_symmetric_path:
-                return np.abs(op.Ks).sum(axis=0)
-            return sum(
-                np.abs(v) for k, v in op.mats.items() if k[0] in "ABD"
-            )
+                return op.Ks.sum(axis=0)
+            return sum(v for k, v in op.mats.items() if k[0] in "ABD")
         theta = np.asarray(self.parameters, np.float64)
         h = self.geometry.height
         try:
@@ -528,7 +527,7 @@ class Problem:
         with jax.default_device(cpu0):
             if self.is_symmetric_path:
                 D = np.asarray(self.material.get_D_transform(h)(theta, 0.0))
-                return np.abs(np.einsum("k,kn->n", D.real, op.Ks))
+                return np.einsum("k,kn->n", D.real, op.Ks)
             Av, Bv, Dv = (
                 np.asarray(x)
                 for x in self.material.get_ABD_transform(h)(theta, 0.0)
@@ -540,7 +539,7 @@ class Problem:
                 + Bv[i].real * op.mats["B" + s]
                 + Dv[i].real * op.mats["D" + s]
             )
-        return np.abs(out)
+        return out
 
     @functools.cache
     def getFRFunction(self) -> Callable:

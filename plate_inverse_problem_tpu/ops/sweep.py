@@ -150,11 +150,26 @@ def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
 
 def sweep_solve(K_flat, M_flat, B, omegas, rows, cols, n: int,
                 engine: str = "modal", n_modes: int | None = None,
-                chunk: int = 16):
-    """Engine dispatch. B: (F, N) complex right-hand sides."""
+                chunk: int = 16, W64=None, invK32=None, n_refine: int = 12):
+    """Engine dispatch. B: (F, N) complex right-hand sides.
+
+    Engines: 'modal' (one eigh + matmuls; exact in f64, fast-approximate in
+    f32), 'direct' (chunked dense LU), 'mixed' (f64-grade on f32 hardware:
+    band Rayleigh-Ritz + deflated refinement — needs the static ``W64`` /
+    ``invK32`` operators from ``ops.mixed``).
+    """
     if engine == "modal":
         return modal_sweep(K_flat, M_flat, B, omegas, rows, cols, n, n_modes)
     elif engine == "direct":
         return direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n, chunk)
+    elif engine == "mixed":
+        from .mixed import mixed_sweep
+
+        if W64 is None or invK32 is None:
+            raise ValueError("engine='mixed' needs W64 and invK32 operators.")
+        return mixed_sweep(K_flat, M_flat, B, omegas, rows, cols, n,
+                           W64, invK32, n_refine=n_refine)
     else:
-        raise ValueError(f"Unknown sweep engine {engine!r}; use 'modal'/'direct'.")
+        raise ValueError(
+            f"Unknown sweep engine {engine!r}; use 'modal'/'direct'/'mixed'."
+        )

@@ -145,9 +145,11 @@ class Problem:
         *,
         cpu: int | None = 0,            # accepted for reference API parity; unused
         spath: str | os.PathLike = None,
-        engine: str | None = None,      # 'modal' | 'direct' | None (auto)
+        engine: str | None = None,      # 'modal' | 'direct' | 'mixed' | None
         chunk: int = 16,                # direct-engine frequency chunk
         n_modes: int | None = None,     # optional modal truncation
+        f_max: float = 600.0,           # band edge for the mixed engine [Hz]
+        n_refine: int = 8,              # mixed-engine refinement iterations
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -156,6 +158,8 @@ class Problem:
         self.engine = engine
         self.chunk = chunk
         self.n_modes = n_modes
+        self.f_max = f_max
+        self.n_refine = n_refine
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -366,15 +370,16 @@ class Problem:
             return self.engine
         if not self.material.scalar_loss_factor:
             return "direct"
-        # The modal engine needs a generalized eigh.  On CPU (LAPACK) that is
-        # always the right call; on TPU, XLA's eigh *compile time* grows
-        # super-linearly with N (measured: 9s @ 512, 40s @ 1024, minutes
-        # beyond), while runtime is fast — so default to the constant-compile
-        # direct engine for larger systems until the custom TPU eigensolver
-        # lands.  Users can force either via Problem(engine=...).
-        if jax.default_backend() == "cpu" or self.n_free <= 1024:
+        # CPU (f64): the modal engine is exact and one LAPACK eigh per theta
+        # is the fastest sweep.  Accelerators (f32 hardware): the mixed
+        # engine is the accurate default — plain f32 factorizations and
+        # f32 eigenbases cannot resolve the resonances (the equilibrated
+        # operator keeps the biharmonic ~1e8 spectral spread).  'modal'
+        # (block-Jacobi f32) and 'direct' remain as fast approximate
+        # options via Problem(engine=...).
+        if jax.default_backend() == "cpu":
             return "modal"
-        return "direct"
+        return "mixed"
 
     @functools.cache
     def getFRCore(self):
@@ -419,6 +424,9 @@ class Problem:
         # system solves for u~ = S^-1 u, so lifts scale by S and readout
         # rows absorb the back-scaling — zero cost inside the jit.
         ss = scale_vec[op.pattern.rows] * scale_vec[op.pattern.cols]
+
+        if engine == "mixed":
+            return self._mixed_core(K_ref, ss, scale_vec)
 
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)
@@ -507,6 +515,141 @@ class Problem:
                 v_abs = jnp.abs(v) * ts
                 w_abs = jnp.abs(w)
                 return jnp.sqrt(u_abs**2 + v_abs**2 + w_abs**2)
+
+        return core, opdata
+
+    def _mixed_core(self, K_ref: np.ndarray, ss: np.ndarray,
+                    scale_vec: np.ndarray):
+        """Core + opdata for the mixed-precision engine (f64 operator data,
+        split-complex solves — see ops.mixed).  Static band basis and f32
+        preconditioner are built on the host from the equilibrated
+        reference-theta operator."""
+        from ..ops.mixed import (
+            band_basis_host, mixed_sweep, static_preconditioner_host,
+        )
+
+        prec = self.precision
+        rdt, cdt = prec.real, prec.complex
+        op = self.op
+        n = op.n_free
+        h = self.geometry.height
+        n_refine = self.n_refine
+
+        K_ref_eq = K_ref * ss
+        M_eq = self.MInertia * ss
+        om_max = 2.0 * np.pi * self.f_max
+        W64, _ = band_basis_host(
+            K_ref_eq, M_eq, op.pattern.rows, op.pattern.cols, n,
+            omega_max=om_max,
+        )
+        invK32 = static_preconditioner_host(
+            K_ref_eq, op.pattern.rows, op.pattern.cols, n
+        )
+
+        base = {
+            "rows": jnp.asarray(op.pattern.rows),
+            "cols": jnp.asarray(op.pattern.cols),
+            "MIn": jnp.asarray(M_eq, jnp.float64),
+            "fIn": jnp.asarray(self.fInertia * scale_vec, jnp.float64),
+            "W64": jnp.asarray(W64, jnp.float64),
+            "invK32": jnp.asarray(invK32, jnp.float32),
+        }
+
+        if self.is_symmetric_path:
+            transform = self.material.get_D_transform(h)
+            opdata = base | {
+                "Ks": jnp.asarray(op.Ks * ss[None, :], jnp.float64),
+                "fKs": jnp.asarray(op.fKs * scale_vec[None, :], jnp.float64),
+                "c": jnp.asarray(op.interpolation_vector * scale_vec, jnp.float64),
+                "c0": jnp.asarray(op.interpolation_value_from_bc, jnp.float64),
+            }
+
+            def core(freqs, params, od):
+                omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
+                params = jnp.asarray(params).astype(rdt)
+                D = transform(params, omegas[0].astype(rdt))
+                Dre = jnp.real(D).astype(jnp.float64)
+                Dim = jnp.imag(D).astype(jnp.float64)
+                K_re = jnp.einsum("k,kn->n", Dre, od["Ks"])
+                K_im = jnp.einsum("k,kn->n", Dim, od["Ks"])
+                bK_re = jnp.einsum("k,kn->n", Dre, od["fKs"])
+                bK_im = jnp.einsum("k,kn->n", Dim, od["fKs"])
+                om2 = (omegas**2)[:, None]
+                B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
+                B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
+                U_re, U_im = mixed_sweep(
+                    K_re, K_im, od["MIn"], B_re, B_im, omegas,
+                    od["rows"], od["cols"], n, od["W64"], od["invK32"],
+                    n_refine=n_refine,
+                )
+                y_re = od["c0"] + U_re @ od["c"]
+                y_im = U_im @ od["c"]
+                return (y_re + 1j * y_im).astype(cdt)
+
+            return core, opdata
+
+        # ---- 3-field path --------------------------------------------------
+        transform = self.material.get_ABD_transform(h)
+        acc = self.accelerometer
+        eff = acc.effective_height * acc.height
+        ts = acc.transverse_sensitivity
+
+        def row(name):
+            R, r0 = op.readout[name]
+            return np.asarray(R.mean(axis=0)), float(r0.mean())
+
+        cu, ou = row("u")
+        cv, ov = row("v")
+        cw, ow = row("w")
+        cwx, owx = row("wx")
+        cwy, owy = row("wy")
+
+        opdata = base | {
+            "ABD": jnp.asarray(np.stack([
+                op.mat_stack(["A" + s for s in MODULI_INDICES]),
+                op.mat_stack(["B" + s for s in MODULI_INDICES]),
+                op.mat_stack(["D" + s for s in MODULI_INDICES]),
+            ]) * ss[None, None, :], jnp.float64),
+            "fABD": jnp.asarray(np.stack([
+                op.lift_stack(["A" + s for s in MODULI_INDICES]),
+                op.lift_stack(["B" + s for s in MODULI_INDICES]),
+                op.lift_stack(["D" + s for s in MODULI_INDICES]),
+            ]) * scale_vec[None, None, :], jnp.float64),
+            "ru": jnp.asarray((cu - eff * cwx) * scale_vec, jnp.float64),
+            "rv": jnp.asarray((cv - eff * cwy) * scale_vec, jnp.float64),
+            "rw": jnp.asarray(cw * scale_vec, jnp.float64),
+            "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], jnp.float64),
+        }
+
+        def core(freqs, params, od):
+            omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
+            params = jnp.asarray(params).astype(rdt)
+            Av, Bv, Dv = transform(params, omegas[0].astype(rdt))
+            coeffs = jnp.stack([Av, Bv, Dv])  # (3, 6) complex
+            Cre = jnp.real(coeffs).astype(jnp.float64)
+            Cim = jnp.imag(coeffs).astype(jnp.float64)
+            K_re = jnp.einsum("mk,mkn->n", Cre, od["ABD"])
+            K_im = jnp.einsum("mk,mkn->n", Cim, od["ABD"])
+            bK_re = jnp.einsum("mk,mkn->n", Cre, od["fABD"])
+            bK_im = jnp.einsum("mk,mkn->n", Cim, od["fABD"])
+            om2 = (omegas**2)[:, None]
+            B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
+            B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
+            U_re, U_im = mixed_sweep(
+                K_re, K_im, od["MIn"], B_re, B_im, omegas,
+                od["rows"], od["cols"], n, od["W64"], od["invK32"],
+                n_refine=n_refine,
+            )
+
+            def mag2(rvec, r0):
+                yr = U_re @ rvec + r0
+                yi = U_im @ rvec
+                return yr * yr + yi * yi
+
+            u2 = mag2(od["ru"], od["r0"][0])
+            v2 = mag2(od["rv"], od["r0"][1])
+            w2 = mag2(od["rw"], od["r0"][2])
+            return jnp.sqrt(ts * ts * (u2 + v2) + w2).astype(rdt)
 
         return core, opdata
 

@@ -204,3 +204,33 @@ def test_laminate_unsymm_path(small_setup):
     p = pip.Problem(geom, sol, acc)
     fr = np.asarray(p.solveForward(np.linspace(40, 120, 4)))
     assert np.all(np.isfinite(fr))
+
+
+def test_mixed_engine_matches_modal_cpu(small_setup):
+    """engine='mixed' through the full Problem pipeline agrees with the
+    exact f64 modal engine (CPU)."""
+    acc, geom, mat = small_setup
+    p_modal = pip.Problem(geom, mat, acc, engine="modal")
+    p_mixed = pip.Problem(geom, mat, acc, engine="mixed")
+    freqs = np.linspace(40, 600, 16)
+    fr_m = np.asarray(p_modal.solveForward(freqs))
+    fr_x = np.asarray(p_mixed.solveForward(freqs))
+    np.testing.assert_allclose(fr_x, fr_m, rtol=1e-6)
+
+
+def test_mixed_engine_loss_grad(small_setup):
+    """Mixed-engine gradients match the exact f64 modal-engine gradients.
+
+    (FD is too noisy an oracle here: the beta step that stays in the linear
+    regime sits at the refinement noise floor of the loss.)"""
+    acc, geom, mat = small_setup
+    p = pip.Problem(geom, mat, acc, engine="mixed")
+    pm = pip.Problem(geom, mat, acc, engine="modal")
+    freqs = np.linspace(40, 300, 6)
+    ref = np.asarray(p.solveForward(freqs))
+    loss = p.getLossFunction(freqs, ref, "MSE_LOG_AFC")
+    loss_m = pm.getLossFunction(freqs, ref, "MSE_LOG_AFC")
+    theta = jnp.asarray(np.asarray(p.parameters) * np.array([1.03, 0.98, 1.1]))
+    g = np.asarray(jax.grad(loss)(theta))
+    g_m = np.asarray(jax.grad(loss_m)(theta))
+    np.testing.assert_allclose(g, g_m, rtol=1e-5)

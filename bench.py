@@ -54,10 +54,13 @@ def main():
     log(f"assembly: n_free={p.n_free} nnz={p.op.pattern.nnz} "
         f"({time.perf_counter() - t0:.2f}s)")
 
+    log(f"engine: {p._engine()}")
     N_F = 512
     freqs = np.linspace(40.0, 600.0, N_F)
     fr_fn = p.getFRFunction()
-    fj = jnp.asarray(freqs, p.precision.real)
+    # frequencies stay f64: the mixed engine squares them in f64, and an f32
+    # omega alone costs ~3e-5 relative at resonance peaks
+    fj = jnp.asarray(freqs)
     th = jnp.asarray(np.asarray(p.parameters), p.precision.real)
 
     t0 = time.perf_counter()
@@ -121,25 +124,31 @@ def main():
     log(f"baseline (scipy splu, CPU): {base_per_solve*1e3:.1f} ms/solve -> "
         f"{base_solves_per_sec:.1f} solves/s")
 
-    # correctness cross-check vs the sparse-LU oracle at the last frequency
-    idx = n_base - 1
-    om = 2 * np.pi * freqs[idx]
-    rows = jnp.asarray(op.pattern.rows)
-    cols = jnp.asarray(op.pattern.cols)
-    from plate_inverse_problem_tpu.ops.sweep import sweep_solve
+    # correctness cross-check at the readout level vs the f64 sparse-LU
+    # oracle — includes the resonance peak (the hardest point)
+    def readout_row(name):
+        R, r0 = op.readout[name]
+        return R.mean(axis=0), r0.mean()
 
-    B1 = (bK - om**2 * fIn)[None, :].astype(p.precision.complex)
-    U1 = np.asarray(
-        sweep_solve(
-            jnp.asarray(K_flat.astype(p.precision.complex)),
-            jnp.asarray(M_flat.astype(p.precision.real)),
-            jnp.asarray(B1),
-            jnp.asarray(np.asarray([om], p.precision.real)),
-            rows, cols, p.n_free, engine=p._engine(), chunk=1,
-        )
-    )[0]
-    rel = np.linalg.norm(U1 - u) / np.linalg.norm(u)
-    log(f"{p._engine()} engine vs sparse-LU rel error @ {freqs[idx]:.0f} Hz: {rel:.2e}")
+    cu, ou = readout_row("u")
+    cv, ov = readout_row("v")
+    cw, ow = readout_row("w")
+    cwx, owx = readout_row("wx")
+    cwy, owy = readout_row("wy")
+    eff = acc.effective_height * acc.height
+    ts = acc.transverse_sensitivity
+    fr_np = np.asarray(fr)
+    idxs = [3, int(np.argmax(fr_np)), N_F // 2, N_F - 1]
+    rel = 0.0
+    for i in idxs:
+        om = 2 * np.pi * freqs[i]
+        u_full = spla.splu((Kcsc - om**2 * Mcsc).tocsc()).solve(bK - om**2 * fIn)
+        uu = (cu - eff * cwx) @ u_full + (ou - eff * owx)
+        vv = (cv - eff * cwy) @ u_full + (ov - eff * owy)
+        ww = cw @ u_full + ow
+        ref_i = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
+        rel = max(rel, abs(fr_np[i] - ref_i) / abs(ref_i))
+    log(f"{p._engine()} engine worst rel err vs f64 splu (incl. peak): {rel:.2e}")
 
     out = {
         "metric": "FRF solves/sec/chip (512-freq sweep, sh_i plate, "
@@ -151,7 +160,8 @@ def main():
             "sweep_ms": round(per_sweep * 1e3, 2),
             "compile_s": round(compile_s, 2),
             "baseline_solves_per_sec": round(base_solves_per_sec, 2),
-            "modal_vs_splu_rel_err": float(rel),
+            "engine": p._engine(),
+            "worst_rel_err_vs_f64_splu": float(rel),
             "checksum": checksum,
             "backend": backend,
             "precision": prec.name,

@@ -227,6 +227,46 @@ def rectangle_with_circle(
     return mesh
 
 
+def refine_uniform(mesh: TriangleMesh, levels: int = 1) -> TriangleMesh:
+    """Uniform red refinement: each triangle splits into 4 via edge midpoints.
+
+    The framework's ``adaptmesh`` analog (the reference exposes FreeFEM's
+    adaptmesh through pyFreeFem/functions.py:93-136 but never uses it on the
+    jax_plate path); used for convergence studies.  Boundary labels carry to
+    child edges/nodes.
+    """
+    out = mesh
+    for _ in range(levels):
+        V = out.num_nodes
+        mids = 0.5 * (out.nodes[out.edges[:, 0]] + out.nodes[out.edges[:, 1]])
+        nodes = np.concatenate([out.nodes, mids])
+
+        T = out.triangles
+        E = out.tri_edges  # edge i opposite vertex i
+        m = V + E  # midpoint node ids per local edge, (T, 3)
+        tris = np.concatenate([
+            np.stack([T[:, 0], m[:, 2], m[:, 1]], 1),
+            np.stack([T[:, 1], m[:, 0], m[:, 2]], 1),
+            np.stack([T[:, 2], m[:, 1], m[:, 0]], 1),
+            np.stack([m[:, 0], m[:, 1], m[:, 2]], 1),
+        ])
+
+        node_labels = np.concatenate([out.node_labels, out.edge_labels])
+        ref = TriangleMesh(nodes, tris, node_labels=node_labels.astype(np.int32))
+        # re-derive edge labels: an edge is labelled if both endpoints carry
+        # the label and it lies on the boundary
+        for lab in np.unique(out.edge_labels):
+            if lab == 0:
+                continue
+            ok = node_labels == lab
+            for ei in ref.boundary_edges():
+                a, b = ref.edges[ei]
+                if ok[a] and ok[b]:
+                    ref.edge_labels[ei] = lab
+        out = ref
+    return out
+
+
 def generate_plate_mesh(
     template: str,
     length: float,

@@ -155,3 +155,41 @@ def test_mixed_sweep_gradients(plate_system):
         tm = theta.copy(); tm[i] -= eps
         fd = (float(loss(jnp.asarray(tp))) - float(loss(jnp.asarray(tm)))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-4, err_msg=f"theta{i}")
+
+
+def test_hessian_through_mixed(plate_system):
+    """jax.hessian composes through the mixed engine's custom_linear_solve."""
+    d = plate_system
+    n, rows, cols = d["n"], d["rows"], d["cols"]
+    omegas = np.array([2 * np.pi * 300.0])
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+    W64, _ = band_basis_host(d["K"], d["M"], rows, cols, n,
+                             omega_max=float(omegas.max()))
+    invK32 = static_preconditioner_host(d["K"], rows, cols, n)
+    c = np.linspace(0.5, 1.5, n)
+
+    K0 = jnp.asarray(d["K"]); M0 = jnp.asarray(d["M"])
+    Wj = jnp.asarray(W64); Pj = jnp.asarray(invK32)
+    Bre = jnp.asarray(B.real); Bim = jnp.asarray(B.imag)
+    om = jnp.asarray(omegas); cj = jnp.asarray(c)
+    rj, co = jnp.asarray(rows), jnp.asarray(cols)
+
+    def loss(theta):
+        U_re, U_im = mixed_sweep(
+            K0 * theta[0], K0 * theta[0] * theta[1], M0,
+            Bre, Bim, om, rj, co, n, Wj, Pj, n_refine=6,
+        )
+        return jnp.sum((U_re @ cj) ** 2 + (U_im @ cj) ** 2)
+
+    theta = jnp.asarray([1.0, 0.01])
+    H = np.asarray(jax.hessian(loss)(theta))
+    assert H.shape == (2, 2)
+    assert np.all(np.isfinite(H))
+    np.testing.assert_allclose(H, H.T, rtol=1e-8)
+
+    # FD column check via grad
+    g = lambda x: np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    eps = 1e-5
+    col0 = (g(np.array([1.0 + eps, 0.01])) - g(np.array([1.0 - eps, 0.01]))) / (2 * eps)
+    np.testing.assert_allclose(H[:, 0], col0, rtol=1e-3)

@@ -71,7 +71,11 @@ class Compressor:
 
             idx = []
             window = min(30, self.size - 1)
-            tmp_afc = np.log(savgol_filter(np.abs(self.complex_fr), window, 3))
+            smooth = savgol_filter(np.abs(self.complex_fr), window, 3)
+            # savgol can overshoot below zero near deep anti-resonances;
+            # clamp before the log (the reference warns/NaNs here, Input.py:91)
+            floor = max(np.abs(self.complex_fr).min() * 1e-3, 1e-300)
+            tmp_afc = np.log(np.maximum(smooth, floor))
 
             for afc in (tmp_afc, -tmp_afc):
                 all_peaks = find_peaks(afc, distance=dst)

@@ -43,20 +43,25 @@ class FixedParameterFunction:
         return self.func(modified, *args)
 
 
-@jax.jit
 def get_sd_and_norm(B, g, lam):
-    """(B + lam I)^-1 (-g) and its norm (reference Optimizers.py:59-67)."""
-    B_cur = B + lam * jnp.eye(B.shape[0], dtype=B.dtype)
-    sd = jax.scipy.linalg.solve(B_cur, -g)
-    return sd, jnp.linalg.norm(sd)
+    """(B + lam I)^-1 (-g) and its norm (reference Optimizers.py:59-67).
+
+    Host numpy: the trust-region model is a tiny (n_params^2) dense problem;
+    keeping it off-device avoids f64 factorizations on TPU (unsupported) and
+    per-iteration dispatch latency."""
+    B_cur = B + lam * np.eye(B.shape[0], dtype=B.dtype)
+    sd = np.linalg.solve(B_cur, -g)
+    return sd, np.linalg.norm(sd)
 
 
 def solve_trust_region_model(B, g, delta, rtol=1e-6, max_iter=100):
     """Constrained quadratic-model minimisation: lambda doubling then
     bisection until ||p|| <= delta (reference Optimizers.py:70-122)."""
+    B = np.asarray(B)
+    g = np.asarray(g)
     lams, _ = np.linalg.eigh(B)
-    sd = jnp.linalg.solve(B, -g)
-    pnorm = jnp.linalg.norm(sd)
+    sd = np.linalg.solve(B, -g)
+    pnorm = np.linalg.norm(sd)
     if pnorm <= delta:
         predicted_improvement = -(g @ sd + 0.5 * sd.T @ B @ sd)
         if lams.min() >= 0:
@@ -165,6 +170,8 @@ def optimize_trust_region(f, x_0, N_steps=10, delta_max=1.0, delta=None,
     for k in range(N_steps):
         if model_update_required:
             cur_f, g, B = update_model(x)
+            g = np.asarray(g)
+            B = np.asarray(B)
 
         try:
             sd, lam, predicted_improvement = solve_trust_region_model(B, g, delta)

@@ -38,16 +38,19 @@ def optimize_newton(f, x_0, N_steps=20, damping=1e-8, f_min=1e-16,
             status = "Converged"
             break
 
-        lam = damping * jnp.trace(B) / B.shape[0]
-        B_d = B + jnp.eye(B.shape[0], dtype=B.dtype) * lam
+        g_h = np.asarray(g)
+        B_h = np.asarray(B)
+        lam = damping * np.trace(B_h) / B_h.shape[0]
+        B_d = B_h + np.eye(B_h.shape[0], dtype=B_h.dtype) * lam
         try:
-            step = jnp.linalg.solve(B_d, -g)
+            step = np.linalg.solve(B_d, -g_h)
         except Exception:
-            step = -g
+            step = -g_h
 
         # fall back to steepest descent if the Newton step is not a descent dir
-        if jnp.dot(step, g) > 0:
-            step = -g
+        if np.dot(step, g_h) > 0:
+            step = -g_h
+        step = jnp.asarray(step, dtype=x.dtype)
 
         t = 1.0
         accepted = False

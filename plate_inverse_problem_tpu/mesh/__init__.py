@@ -9,7 +9,7 @@ binaries.
 """
 from .core import TriangleMesh
 from .generators import generate_plate_mesh, rectangle_with_circle
-from .io import load_msh, save_msh
+from .io import load_msh, save_msh, save_vtu
 from .locate import locate_points
 
 __all__ = [
@@ -18,5 +18,6 @@ __all__ = [
     "rectangle_with_circle",
     "load_msh",
     "save_msh",
+    "save_vtu",
     "locate_points",
 ]

@@ -50,6 +50,45 @@ def load_msh(path: str) -> TriangleMesh:
     return mesh
 
 
+def save_vtu(mesh: TriangleMesh, path: str, point_data: dict | None = None) -> None:
+    """Write an ASCII VTK unstructured-grid (.vtu) file.
+
+    The reference exports meshes via FreeFEM's ``savevtk`` (symm.edp:34,
+    enabled by Geometry(export_vtk=True), Geometry.py:224-232); this is the
+    native equivalent, with optional nodal fields (e.g. mode shapes).
+    """
+    V, T = mesh.num_nodes, mesh.num_triangles
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0"?>\n')
+        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+        fh.write(f'<Piece NumberOfPoints="{V}" NumberOfCells="{T}">\n')
+        fh.write('<Points><DataArray type="Float64" NumberOfComponents="3" '
+                 'format="ascii">\n')
+        for x, y in mesh.nodes:
+            fh.write(f"{x:.16g} {y:.16g} 0\n")
+        fh.write("</DataArray></Points>\n<Cells>\n")
+        fh.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        for t in mesh.triangles:
+            fh.write(f"{t[0]} {t[1]} {t[2]}\n")
+        fh.write('</DataArray>\n<DataArray type="Int32" Name="offsets" '
+                 'format="ascii">\n')
+        fh.write(" ".join(str(3 * (i + 1)) for i in range(T)))
+        fh.write('\n</DataArray>\n<DataArray type="UInt8" Name="types" '
+                 'format="ascii">\n')
+        fh.write(" ".join("5" for _ in range(T)))  # VTK_TRIANGLE
+        fh.write("\n</DataArray>\n</Cells>\n")
+        if point_data:
+            fh.write("<PointData>\n")
+            for name, vals in point_data.items():
+                fh.write(f'<DataArray type="Float64" Name="{name}" '
+                         'format="ascii">\n')
+                fh.write(" ".join(f"{float(v):.9g}" for v in np.asarray(vals)))
+                fh.write("\n</DataArray>\n")
+            fh.write("</PointData>\n")
+        fh.write("</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
 def save_msh(mesh: TriangleMesh, path: str) -> None:
     bidx = mesh.boundary_edges()
     with open(path, "w") as fh:

@@ -68,7 +68,7 @@ class Geometry:
         mesh: TriangleMesh = None,
         ny: int | None = None,
         refine: float = 1.0,
-        export_vtk: bool = False,  # accepted for API parity; VTK export is a no-op
+        export_vtk: bool = False,  # write geometry/export.vtu next to the package
     ):
         self.template = None
         self._mesh: TriangleMesh | None = None
@@ -170,6 +170,7 @@ class Geometry:
         self.accel_r = accelerometer.radius if accelerometer is not None else None
         self._ny = ny
         self._refine = refine
+        self._export_vtk = export_vtk
 
     # ------------------------------------------------------------------
 
@@ -188,6 +189,17 @@ class Geometry:
                 ny=self._ny,
                 refine=self._refine,
             )
+        if getattr(self, "_export_vtk", False):
+            # counterpart of the reference's savevtk hook (Geometry.py:224-232)
+            import os as _os
+
+            from ..mesh.io import save_vtu
+            from ..utils.paths import get_package_dir
+
+            out = _os.path.join(get_package_dir(), "geometry")
+            _os.makedirs(out, exist_ok=True)
+            save_vtu(self._mesh, _os.path.join(out, "export.vtu"))
+            self._export_vtk = False
         return self._mesh
 
     @property

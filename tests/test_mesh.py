@@ -71,3 +71,32 @@ def test_locate_points():
     # reconstruct point from barycentric coords
     rec = np.einsum("pi,pid->pd", bary, m.nodes[m.triangles[tri]])
     np.testing.assert_allclose(rec, pts, atol=1e-12)
+
+
+def test_save_vtu(tmp_path):
+    from plate_inverse_problem_tpu.mesh import save_vtu
+
+    m = structured_rectangle(1.0, 1.0, 2, 2)
+    path = str(tmp_path / "mesh.vtu")
+    save_vtu(m, path, point_data={"w": np.arange(m.num_nodes, dtype=float)})
+    txt = open(path).read()
+    assert txt.count("DataArray") >= 8
+    assert 'Name="w"' in txt
+    assert f'NumberOfPoints="{m.num_nodes}"' in txt
+
+
+def test_geometry_export_vtk(tmp_path, monkeypatch):
+    import plate_inverse_problem_tpu as pip
+    import os
+
+    acc = pip.Accelerometer("AP1030")
+    geom = pip.Geometry(
+        "symm", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None),
+        ny=1, export_vtk=True,
+    )
+    geom.get_mesh()
+    from plate_inverse_problem_tpu.utils.paths import get_package_dir
+
+    out = os.path.join(get_package_dir(), "geometry", "export.vtu")
+    assert os.path.exists(out)
+    os.remove(out)

@@ -368,17 +368,18 @@ class Problem:
     def _engine(self) -> str:
         if self.engine is not None:
             return self.engine
-        if not self.material.scalar_loss_factor:
-            return "direct"
-        # CPU (f64): the modal engine is exact and one LAPACK eigh per theta
-        # is the fastest sweep.  Accelerators (f32 hardware): the mixed
-        # engine is the accurate default — plain f32 factorizations and
-        # f32 eigenbases cannot resolve the resonances (the equilibrated
-        # operator keeps the biharmonic ~1e8 spectral spread).  'modal'
-        # (block-Jacobi f32) and 'direct' remain as fast approximate
-        # options via Problem(engine=...).
+        # CPU (f64): the modal engine is exact for scalar-loss materials and
+        # one LAPACK eigh per theta is the fastest sweep; per-modulus-loss
+        # materials (no single (1+i*beta) factor) use the direct engine.
+        # Accelerators (f32 hardware): the mixed engine is the accurate
+        # default for ALL materials — its refinement residual uses the true
+        # complex stiffness, with the beta projection only as the
+        # preconditioner model.  Plain f32 factorizations / eigenbases
+        # cannot resolve the resonances (the equilibrated operator keeps the
+        # biharmonic ~1e8 spectral spread); 'modal' (block-Jacobi f32) and
+        # 'direct' remain fast approximate options via Problem(engine=...).
         if jax.default_backend() == "cpu":
-            return "modal"
+            return "modal" if self.material.scalar_loss_factor else "direct"
         return "mixed"
 
     @functools.cache

@@ -111,15 +111,21 @@ def _spmv64(data64, rows, cols, x64, n):
     return spmv_flat(data64, rows, cols, x64, n)
 
 
-def _residual_f64(Kr64, Ms64, beta64, om2_64, b_re, b_im, u_re, u_im,
+def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
                   rows, cols, n):
-    """r = b - A u with A = (1+i beta) K - om^2 M, all in f64 pairs."""
+    """r = b - A u with A = (K_r + i K_i) - om^2 M, all in f64 pairs.
+
+    Uses the *true* imaginary stiffness (not a beta projection), so the
+    refinement fixed point is exact for arbitrary complex K — including
+    per-modulus loss factors (OrthotropicD4)."""
     Ku_re = _spmv64(Kr64, rows, cols, u_re, n)
     Ku_im = _spmv64(Kr64, rows, cols, u_im, n)
+    Kiu_re = _spmv64(Ki64, rows, cols, u_re, n)
+    Kiu_im = _spmv64(Ki64, rows, cols, u_im, n)
     Mu_re = _spmv64(Ms64, rows, cols, u_re, n)
     Mu_im = _spmv64(Ms64, rows, cols, u_im, n)
-    Au_re = Ku_re - beta64 * Ku_im - om2_64 * Mu_re
-    Au_im = Ku_im + beta64 * Ku_re - om2_64 * Mu_im
+    Au_re = Ku_re - Kiu_im - om2_64 * Mu_re
+    Au_im = Ku_im + Kiu_re - om2_64 * Mu_im
     return b_re - Au_re, b_im - Au_im
 
 
@@ -140,9 +146,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     Returns (U_re, U_im) f64 — validated at ~3e-8 relative against f64
     sparse LU including exactly at resonances (tests/test_mixed.py).
     """
+    # beta is only the *preconditioner's* model of K_im (band resolvent
+    # denominators); the refinement residual uses the true K_im, so the
+    # converged solution is exact for arbitrary complex stiffness.
     beta = jnp.vdot(K_re, K_im) / jnp.vdot(K_re, K_re)
 
     Kr64 = jax.lax.stop_gradient(K_re).astype(jnp.float64)
+    Ki64 = jax.lax.stop_gradient(K_im).astype(jnp.float64)
     Ms64 = jax.lax.stop_gradient(M_flat).astype(jnp.float64)
     beta64 = jax.lax.stop_gradient(beta).astype(jnp.float64)
 
@@ -199,7 +209,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 def step(carry, _):
                     u_re, u_im = carry
                     r_re, r_im = _residual_f64(
-                        Kr64, Ms64, sb, om2, bb_re, bb_im, u_re, u_im,
+                        Kr64, sign * Ki64, Ms64, om2, bb_re, bb_im, u_re, u_im,
                         rows, cols, n,
                     )
                     db_re, db_im = band_solve_f64(r_re, r_im)

@@ -15,7 +15,6 @@ Gradients never unroll the solver and never differentiate the eigenbasis.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

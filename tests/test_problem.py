@@ -234,3 +234,17 @@ def test_mixed_engine_loss_grad(small_setup):
     g = np.asarray(jax.grad(loss)(theta))
     g_m = np.asarray(jax.grad(loss_m)(theta))
     np.testing.assert_allclose(g, g_m, rtol=1e-5)
+
+
+def test_mixed_engine_d4_matches_direct(small_setup):
+    """Per-modulus loss factors (no scalar beta): the mixed engine's residual
+    uses the true K_im, so it matches the exact direct engine."""
+    acc, geom, mat = small_setup
+    m4 = pip.OrthotropicD4(7920.0, E1=210e9, E2=200e9, G12=75e9, nu12=0.33,
+                           b1=0.002, b2=0.004, b3=0.006, b4=0.001)
+    p_mixed = pip.Problem(geom, m4, acc, engine="mixed")
+    p_direct = pip.Problem(geom, m4, acc, engine="direct", chunk=4)
+    freqs = np.linspace(40, 500, 8)
+    fr_x = np.asarray(p_mixed.solveForward(freqs))
+    fr_d = np.asarray(p_direct.solveForward(freqs))
+    np.testing.assert_allclose(fr_x, fr_d, rtol=1e-6)

@@ -707,11 +707,25 @@ class Problem:
 
     # ------------------------------------------------------------------
 
+    def _check_band(self, freqs) -> None:
+        """Warn when the sweep leaves the mixed engine's preconditioned band."""
+        if self._engine() == "mixed":
+            fmax = float(np.max(np.asarray(freqs)))
+            if fmax > self.f_max * 1.0001:
+                warnings.warn(
+                    f"Sweep reaches {fmax:.1f} Hz but the mixed engine's band "
+                    f"basis was built for f_max={self.f_max:.1f} Hz; accuracy "
+                    "and refinement convergence degrade above the band. "
+                    "Recreate the Problem with f_max >= the sweep maximum.",
+                    RuntimeWarning,
+                )
+
     def solveForward(self, freqs: np.ndarray, params: np.ndarray = None) -> np.ndarray:
         """Forward FRF for a set of frequencies (Problem.py:611-639)."""
         if params is None:
             params = self.parameters
         params = jnp.array(params)
+        self._check_band(freqs)
         fr_func = self.getFRFunction()
         return fr_func(jnp.asarray(freqs), params)
 
@@ -744,6 +758,7 @@ class Problem:
         multi-megabyte operator constants into outer jits.
         """
         assert frequencies.shape[0] == reference_fr.shape[0]
+        self._check_band(frequencies)
         core, opdata = self.getFRCore()
         return LossFunction(
             core, opdata, frequencies, reference_fr, func_type, scaling_params

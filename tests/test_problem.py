@@ -248,3 +248,25 @@ def test_mixed_engine_d4_matches_direct(small_setup):
     fr_x = np.asarray(p_mixed.solveForward(freqs))
     fr_d = np.asarray(p_direct.solveForward(freqs))
     np.testing.assert_allclose(fr_x, fr_d, rtol=1e-6)
+
+
+def test_global_optimizers_de_shgo(problem_unsymm, tmp_path, monkeypatch):
+    """scipy global optimizers wired through solveInverse
+    (reference Problem.py:813-828)."""
+    monkeypatch.setenv("PIP_TPU_OUTPUT_DIR", str(tmp_path))
+    p = problem_unsymm
+    freqs = np.linspace(40, 200, 6)
+    fr = np.asarray(p.solveForward(freqs))
+    theta0 = np.asarray(p.parameters)
+    bounds = np.stack([theta0 * 0.8, theta0 * 1.2], axis=1)
+
+    res = p.solveInverse(bounds, "MSE_LOG_AFC", "de", ref_fr=[freqs, fr],
+                         report=False, log=False, maxiter=2, popsize=4,
+                         tol=10.0, seed=0, polish=False)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert hasattr(res, "f") and hasattr(res, "niter")
+
+    res2 = p.solveInverse(bounds, "MSE_LOG_AFC", "shgo", ref_fr=[freqs, fr],
+                          report=False, log=False,
+                          options={"maxiter": 2, "f_tol": 1.0})
+    assert np.all(np.isfinite(np.asarray(res2.x)))

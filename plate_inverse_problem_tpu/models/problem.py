@@ -321,11 +321,15 @@ class Problem:
             self.geometry = geometry
         elif "geometry" in setup_params:
             gdict = dict(setup_params["geometry"])
+            # optional mesh-resolution keys (framework extension)
+            g_ny = gdict.pop("ny", None)
+            g_refine = gdict.pop("refine", 1.0)
             if "template" in gdict:
                 templ = gdict.pop("template")
                 self.geometry = Geometry(
                     templ, accelerometer=self.accelerometer,
                     params=GeometryParams(**gdict),
+                    ny=g_ny, refine=g_refine,
                 )
             elif "edp" in gdict or "msh" in gdict:
                 gfile = gdict.pop("edp", None) or gdict.pop("msh", None)

@@ -48,7 +48,7 @@ from ..optimize import (
     optimize_trust_region,
     optimize_newton,
     optimize_lbfgs,
-)
+)  # optimize_gauss_newton imported lazily in solveInverse
 from ..utils.paths import get_repo_dir
 from .accelerometer import Accelerometer, AccelerometerParams
 from .geometry import Geometry, GeometryParams
@@ -130,6 +130,58 @@ class LossFunction:
 
             self._vgh = jax.jit(all3)
         return self._vgh(params, self._opdata, self._freqs, self._ref)
+
+
+class ResidualFunction:
+    """Vector residual r(theta) with a pre-jitted Jacobian oracle for
+    Gauss-Newton (the BASELINE north-star optimizer).
+
+    kinds: 'log_afc' (r_i = log|fr_i| - log|ref_i|; GN on it is the
+    Gauss-Newton counterpart of MSE_LOG_AFC), 'afc' (|fr| - |ref|),
+    'complex' (stacked re/im of fr - ref).  The Jacobian is computed in
+    forward mode (jacfwd): p parameters cost p JVPs through the sweep,
+    which the implicit-diff solve rules make exact and cheap.
+    """
+
+    def __init__(self, core, opdata, frequencies, reference_fr, kind="log_afc",
+                 scaling_params=None):
+        self._opdata = opdata
+        self._freqs = jnp.asarray(frequencies)
+        self._ref = jnp.asarray(reference_fr)
+        self.kind = kind
+        scaling = 1.0 if scaling_params is None else jnp.asarray(scaling_params)
+
+        if kind == "log_afc":
+            def resid(fr, ref):
+                return jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))
+        elif kind == "afc":
+            def resid(fr, ref):
+                return jnp.abs(fr) - jnp.abs(ref)
+        elif kind == "complex":
+            def resid(fr, ref):
+                d = fr - ref
+                return jnp.concatenate([jnp.real(d), jnp.imag(d)])
+        else:
+            raise ValueError(f"Unknown residual kind {kind!r}.")
+
+        def full(params, od, freqs, ref):
+            fr = core(freqs, params * scaling, od)
+            return resid(fr, ref)
+
+        self._r = jax.jit(full)
+
+        def rj(params, od, freqs, ref):
+            r = full(params, od, freqs, ref)
+            J = jax.jacfwd(full)(params, od, freqs, ref)
+            return r, J
+
+        self._rj = jax.jit(rj)
+
+    def __call__(self, params):
+        return self._r(params, self._opdata, self._freqs, self._ref)
+
+    def value_and_jac(self, params):
+        return self._rj(params, self._opdata, self._freqs, self._ref)
 
 
 class Problem:
@@ -768,6 +820,22 @@ class Problem:
             core, opdata, frequencies, reference_fr, func_type, scaling_params
         )
 
+    def getResidualFunction(
+        self,
+        frequencies: jax.Array,
+        reference_fr: jax.Array,
+        kind: str = "log_afc",
+        scaling_params: jax.Array = None,
+    ) -> "ResidualFunction":
+        """Vector-residual factory for Gauss-Newton
+        (``optimize.optimize_gauss_newton``)."""
+        assert frequencies.shape[0] == reference_fr.shape[0]
+        self._check_band(frequencies)
+        core, opdata = self.getFRCore()
+        return ResidualFunction(
+            core, opdata, frequencies, reference_fr, kind, scaling_params
+        )
+
     # ------------------------------------------------------------------
 
     def solveInverse(
@@ -859,6 +927,8 @@ class Problem:
         local = {
             "trust_region": optimize_trust_region,
             "tr": optimize_trust_region,
+            "gauss_newton": "GN",
+            "gn": "GN",
             "coord_descent": optimize_cd,
             "cd": optimize_cd,
             "coord_descent_mem": optimize_cd_mem2,
@@ -871,6 +941,21 @@ class Problem:
 
         if optimizer in local:
             optimizer_func = local[optimizer]
+            if optimizer_func == "GN":
+                from ..optimize import optimize_gauss_newton
+
+                kind = {"MSE": "complex", "RMSE": "complex",
+                        "MSE_AFC": "afc", "MSE_LOG_AFC": "log_afc"}[loss_type]
+                resfn = self.getResidualFunction(
+                    ref_fr[0], ref_fr[1], kind=kind,
+                    scaling_params=None if np.all(np.asarray(scaling_params) == 1.0)
+                    else jnp.asarray(np.asarray(scaling_params)
+                                     if np.asarray(scaling_params).ndim == 1
+                                     else np.asarray(scaling_params)[:, 0]),
+                )
+
+                def optimizer_func(_loss, x0, **kw):
+                    return optimize_gauss_newton(resfn, x0, **kw)
         elif optimizer == "de":
             optimizer_func = differential_evolution
         elif optimizer == "shgo":

@@ -18,7 +18,7 @@ from .local import (
     solve_trust_region_model,
     get_model_newt,
 )
-from .second_order import optimize_newton, optimize_lbfgs
+from .second_order import optimize_newton, optimize_lbfgs, optimize_gauss_newton
 
 __all__ = [
     "FixedParameterFunction",
@@ -32,4 +32,5 @@ __all__ = [
     "get_model_newt",
     "optimize_newton",
     "optimize_lbfgs",
+    "optimize_gauss_newton",
 ]

@@ -68,6 +68,71 @@ def optimize_newton(f, x_0, N_steps=20, damping=1e-8, f_min=1e-16,
     return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
 
 
+def optimize_gauss_newton(resfn, x_0, N_steps=20, lm_damping=1e-3,
+                          f_min=1e-16, backtrack=0.5, max_backtracks=15):
+    """Gauss-Newton / Levenberg-Marquardt on a vector residual.
+
+    ``resfn`` is a ``Problem.getResidualFunction`` object (pre-jitted
+    value_and_jac via forward-mode JVPs through the sweep) or any callable
+    with the same duck-typed interface.  The normal-equations solve is a tiny
+    host-side dense problem.  Returns the usual optResult record with
+    f = mean squared residual.
+    """
+    if hasattr(resfn, "value_and_jac"):
+        value_and_jac = resfn.value_and_jac
+    else:
+        def value_and_jac(x):
+            return resfn(x), jax.jacfwd(resfn)(x)
+
+    x = jnp.asarray(x_0)
+    x_history, f_history, grad_history = [], [], []
+    status = "Running"
+    lam = lm_damping
+    cur_f = None
+    k = 0
+
+    for k in range(N_steps):
+        r, J = value_and_jac(x)
+        r_h = np.asarray(r)
+        J_h = np.asarray(J)
+        m = r_h.size
+        cur_f = float(r_h @ r_h) / m
+        g = 2.0 * (J_h.T @ r_h) / m
+
+        x_history.append(x)
+        f_history.append(cur_f)
+        grad_history.append(g)
+
+        if cur_f <= f_min:
+            status = "Converged"
+            break
+
+        JtJ = J_h.T @ J_h / m
+        accepted = False
+        for _ in range(max_backtracks):
+            H = JtJ + lam * np.diag(np.maximum(np.diag(JtJ), 1e-30))
+            try:
+                step = np.linalg.solve(H, -0.5 * g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            x_new = x + jnp.asarray(step, dtype=x.dtype)
+            r_new = np.asarray(resfn(x_new) if not hasattr(resfn, "value_and_jac")
+                               else resfn(x_new))
+            f_new = float(r_new @ r_new) / m
+            if f_new < cur_f:
+                x = x_new
+                lam = max(lam * backtrack, 1e-12)
+                accepted = True
+                break
+            lam *= 4.0
+        if not accepted:
+            status = "Stalled"
+            break
+
+    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+
+
 def optimize_lbfgs(f, x_0, N_steps=100, f_min=1e-16, **lbfgs_kwargs):
     """L-BFGS through optax, reporting reference-style histories."""
     import optax

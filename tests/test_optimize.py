@@ -80,3 +80,21 @@ def test_fixed_parameter_function():
     xs = np.linspace(-1, 2, 201)
     vals = [float(f(jnp.asarray([x]))) for x in xs]
     np.testing.assert_allclose(xs[np.argmin(vals)], QUAD_MIN[0], atol=0.02)
+
+
+def test_gauss_newton_on_residual():
+    from plate_inverse_problem_tpu.optimize import optimize_gauss_newton
+
+    target = jnp.asarray([1.5, -0.5])
+
+    def resfn(x):
+        # nonlinear residual with unique zero at target
+        return jnp.asarray([
+            x[0] - target[0],
+            (x[1] - target[1]) * (1 + x[0] ** 2),
+            0.1 * (x[0] - target[0]) * (x[1] - target[1]),
+        ])
+
+    res = optimize_gauss_newton(resfn, jnp.zeros(2), N_steps=25)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(target), atol=1e-7)
+    assert res.f < 1e-14

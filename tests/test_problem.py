@@ -270,3 +270,19 @@ def test_global_optimizers_de_shgo(problem_unsymm, tmp_path, monkeypatch):
                           report=False, log=False,
                           options={"maxiter": 2, "f_tol": 1.0})
     assert np.all(np.isfinite(np.asarray(res2.x)))
+
+
+def test_gauss_newton_inverse(problem_unsymm, tmp_path, monkeypatch):
+    """Gauss-Newton through solveInverse recovers perturbed parameters."""
+    monkeypatch.setenv("PIP_TPU_OUTPUT_DIR", str(tmp_path))
+    p = problem_unsymm
+    freqs = np.linspace(40, 300, 12)
+    fr = np.asarray(p.solveForward(freqs))
+    res = p.solveInverse(
+        [0.03, 0.03, 0.1], "MSE_LOG_AFC", "gauss_newton",
+        ref_fr=[freqs, fr], use_rel=True, report=False, log=False,
+        N_steps=8,
+    )
+    err = np.abs(np.asarray(res.x) - np.asarray(p.parameters)) / np.asarray(p.parameters)
+    assert res.f < 1e-6
+    assert err.max() < 1e-3, err

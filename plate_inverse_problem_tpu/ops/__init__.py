@@ -26,6 +26,8 @@ pure MXU matmuls).
 from .scatter import to_dense, spmv_flat
 from .spectral import generalized_eigh
 from .sweep import modal_sweep, direct_sweep, sweep_solve
+from .jacobi_eigh import jacobi_eigh, generalized_jacobi_eigh
+from .mixed import mixed_sweep, band_basis_host, static_preconditioner_host
 
 __all__ = [
     "to_dense",
@@ -34,4 +36,9 @@ __all__ = [
     "modal_sweep",
     "direct_sweep",
     "sweep_solve",
+    "jacobi_eigh",
+    "generalized_jacobi_eigh",
+    "mixed_sweep",
+    "band_basis_host",
+    "static_preconditioner_host",
 ]

@@ -11,6 +11,10 @@ framework's own mesher the sums differ (resonance peaks vs. the 50-point grid
 shift by the discretisation delta), so this script records OUR golden values
 for regression instead and checks them.
 """
+# allow running from a source checkout: python examples/<name>.py
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 import plate_inverse_problem_tpu as pip

@@ -7,6 +7,10 @@ with virtual devices:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
         python examples/multichip.py
 """
+# allow running from a source checkout: python examples/<name>.py
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,8 @@
 """Device smoke test (counterpart of the reference examples/test_cpp_lib.py)."""
+# allow running from a source checkout: python examples/<name>.py
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from plate_inverse_problem_tpu.diagnostics import test_function, device_report

@@ -3,6 +3,10 @@
 Counterpart of the reference's examples/cpu_benchmark.py (sh_i template,
 3000 freqs, 20-step GD inverse on 200 compressed points).
 """
+# allow running from a source checkout: python examples/<name>.py
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 from time import perf_counter as pf
 

@@ -20,6 +20,17 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
+# Some TPU-plugin site hooks (axon) pin jax_platforms in-process, silently
+# ignoring the user's JAX_PLATFORMS env var.  Honor an explicit non-plugin
+# request (e.g. JAX_PLATFORMS=cpu for the virtual-device test path).
+_env_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _env_platforms and "axon" not in _env_platforms and "proxy" not in _env_platforms:
+    try:
+        if (jax.config.jax_platforms or "") != _env_platforms:
+            jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
 # float64 must be enabled process-wide for the x64 policy to mean anything.
 # It is harmless under the x32 policy (arrays are created as f32 explicitly).
 if os.environ.get("PIP_TPU_DISABLE_X64", "0") != "1":
@@ -33,6 +44,16 @@ jax.config.update(
     "jax_default_matmul_precision",
     os.environ.get("PIP_TPU_MATMUL_PRECISION", "highest"),
 )
+
+# Persistent compilation cache: sweep-graph compiles are tens of seconds on
+# TPU; cache them across processes (PIP_TPU_CACHE_DIR='' disables).
+_cache_dir = os.environ.get("PIP_TPU_CACHE_DIR", "/tmp/pip_tpu_jax_cache")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 @dataclass(frozen=True)

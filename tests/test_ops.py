@@ -246,3 +246,32 @@ def test_modal_sweep_with_jacobi_basis():
     ))
     U_ref = _solve_reference(Kd, Md, beta, omegas, B)
     np.testing.assert_allclose(U, U_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_modal_truncation_approximates():
+    """n_modes truncation: low-frequency response approximated by the leading
+    modes, exact as n_modes -> n."""
+    n, rows, cols, K_flat, M_flat, Kd, Md = _random_system(n=30, seed=21)
+    beta = 0.01
+    omegas = np.asarray([0.05])  # well below the spectrum: quasi-static
+    rng = np.random.default_rng(22)
+    B = rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+    Kc = (1 + 1j * beta) * K_flat
+
+    U_full = np.asarray(modal_sweep(jnp.asarray(Kc), jnp.asarray(M_flat),
+                                    jnp.asarray(B), jnp.asarray(omegas),
+                                    rows, cols, n, refine_steps=0))
+    U_tr = np.asarray(modal_sweep(jnp.asarray(Kc), jnp.asarray(M_flat),
+                                  jnp.asarray(B), jnp.asarray(omegas),
+                                  rows, cols, n, n_modes=n, refine_steps=0))
+    np.testing.assert_allclose(U_tr, U_full, rtol=1e-9)
+
+    # truncated basis stays a bounded approximation of the quasi-static solve
+    U_t2 = np.asarray(modal_sweep(jnp.asarray(Kc), jnp.asarray(M_flat),
+                                  jnp.asarray(B), jnp.asarray(omegas),
+                                  rows, cols, n, n_modes=20, refine_steps=0))
+    ref = _solve_reference(Kd, Md, beta, omegas, B)
+    full_err = np.linalg.norm(U_full - ref)
+    tr_err = np.linalg.norm(U_t2 - ref)
+    assert full_err < 1e-8 * np.linalg.norm(ref)
+    assert tr_err < np.linalg.norm(ref)  # bounded, not exact

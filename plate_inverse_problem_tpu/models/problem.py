@@ -201,7 +201,7 @@ class Problem:
         chunk: int = 16,                # direct-engine frequency chunk
         n_modes: int | None = None,     # optional modal truncation
         f_max: float = 600.0,           # band edge for the mixed engine [Hz]
-        n_refine: int = 6,              # mixed-engine refinement iterations
+        n_refine: int = 12,             # mixed-engine refinement cap (adaptive)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")

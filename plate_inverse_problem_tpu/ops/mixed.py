@@ -134,7 +134,7 @@ def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
 # ---------------------------------------------------------------------------
 
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
-                W64, invK32, n_refine: int = 8):
+                W64, invK32, n_refine: int = 8, refine_tol: float = 1e-8):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -142,6 +142,12 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     M_flat (nnz,), B_re/B_im (F, n), omegas (F,).
     W64: (n, m) f64 M-orthonormal band basis (static);
     invK32: (n, n) f32 static preconditioner.
+
+    The refinement loop is adaptive: it stops when the relative residual
+    drops below ``refine_tol`` (or after ``n_refine`` iterations).  A
+    ``while_loop`` is safe here because the solve closure of
+    ``custom_linear_solve`` is a numerical method — it is never
+    differentiated, so reverse-mode AD is unaffected.
 
     Returns (U_re, U_im) f64 — validated at ~3e-8 relative against f64
     sparse LU including exactly at resonances (tests/test_mixed.py).
@@ -205,23 +211,32 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             def slv(mv_, bb):
                 bb_re, bb_im = bb
                 u_re, u_im = band_solve_f64(bb_re, bb_im)
+                b_norm2 = jnp.sum(bb_re * bb_re) + jnp.sum(bb_im * bb_im)
+                thresh2 = (refine_tol * refine_tol) * b_norm2
 
-                def step(carry, _):
-                    u_re, u_im = carry
+                def cond(state):
+                    _, _, k, rn2 = state
+                    return jnp.logical_and(k < n_refine, rn2 > thresh2)
+
+                def body(state):
+                    u_re, u_im, k, _ = state
                     r_re, r_im = _residual_f64(
                         Kr64, sign * Ki64, Ms64, om2, bb_re, bb_im, u_re, u_im,
                         rows, cols, n,
                     )
+                    rn2 = jnp.sum(r_re * r_re) + jnp.sum(r_im * r_im)
                     db_re, db_im = band_solve_f64(r_re, r_im)
                     # deflate band component before the f32 preconditioner
                     rc_re = r_re - MZ64 @ (Zw64.T @ r_re)
                     rc_im = r_im - MZ64 @ (Zw64.T @ r_im)
                     dc_re = (invK32 @ rc_re.astype(jnp.float32)).astype(jnp.float64)
                     dc_im = (invK32 @ rc_im.astype(jnp.float32)).astype(jnp.float64)
-                    return (u_re + db_re + dc_re, u_im + db_im + dc_im), None
+                    return (u_re + db_re + dc_re, u_im + db_im + dc_im,
+                            k + 1, rn2)
 
-                (u_re, u_im), _ = jax.lax.scan(
-                    step, (u_re, u_im), None, length=n_refine
+                u_re, u_im, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (u_re, u_im, jnp.int32(0), jnp.asarray(jnp.inf, jnp.float64)),
                 )
                 return (u_re, u_im)
 

@@ -134,7 +134,7 @@ def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
 # ---------------------------------------------------------------------------
 
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
-                W64, invK32, n_refine: int = 8, refine_tol: float = 1e-8):
+                W64, invK32, n_refine: int = 8, refine_tol: float = 3e-7):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —

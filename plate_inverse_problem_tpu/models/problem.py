@@ -144,11 +144,12 @@ class ResidualFunction:
     """
 
     def __init__(self, core, opdata, frequencies, reference_fr, kind="log_afc",
-                 scaling_params=None):
+                 scaling_params=None, freq_chunk: int | None = None):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
         self._ref = jnp.asarray(reference_fr)
         self.kind = kind
+        self._chunk = freq_chunk
         scaling = 1.0 if scaling_params is None else jnp.asarray(scaling_params)
 
         if kind == "log_afc":
@@ -175,7 +176,31 @@ class ResidualFunction:
             J = jax.jacfwd(full)(params, od, freqs, ref)
             return r, J
 
-        self._rj = jax.jit(rj)
+        def rj_chunked(params, od, freqs, ref):
+            # bound peak memory: the Jacobian holds p tangent solution
+            # batches; chunking the frequency axis caps them at chunk size
+            c = self._chunk
+            F = freqs.shape[0]
+            n_chunks = -(-F // c)
+            pad = n_chunks * c - F
+            fpad = jnp.concatenate([freqs, jnp.repeat(freqs[-1:], pad)])
+            rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad)])
+
+            def one(args):
+                fc, rc = args
+                return rj(params, od, fc, rc)
+
+            rs, Js = jax.lax.map(
+                one, (fpad.reshape(n_chunks, c), rpad.reshape(n_chunks, c))
+            )
+            return rs.reshape(-1)[:F], Js.reshape(-1, Js.shape[-1])[:F]
+
+        if freq_chunk is not None and kind == "complex":
+            raise ValueError(
+                "freq_chunk is only supported for per-frequency scalar "
+                "residual kinds ('log_afc', 'afc')."
+            )
+        self._rj = jax.jit(rj if freq_chunk is None else rj_chunked)
 
     def __call__(self, params):
         return self._r(params, self._opdata, self._freqs, self._ref)
@@ -826,14 +851,17 @@ class Problem:
         reference_fr: jax.Array,
         kind: str = "log_afc",
         scaling_params: jax.Array = None,
+        freq_chunk: int | None = None,
     ) -> "ResidualFunction":
         """Vector-residual factory for Gauss-Newton
-        (``optimize.optimize_gauss_newton``)."""
+        (``optimize.optimize_gauss_newton``).  ``freq_chunk`` bounds Jacobian
+        memory for large sweeps x many parameters."""
         assert frequencies.shape[0] == reference_fr.shape[0]
         self._check_band(frequencies)
         core, opdata = self.getFRCore()
         return ResidualFunction(
-            core, opdata, frequencies, reference_fr, kind, scaling_params
+            core, opdata, frequencies, reference_fr, kind, scaling_params,
+            freq_chunk=freq_chunk,
         )
 
     # ------------------------------------------------------------------

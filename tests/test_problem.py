@@ -290,3 +290,16 @@ def test_gauss_newton_inverse(problem_unsymm, tmp_path, monkeypatch):
     assert res.f_history[0] / max(res.f, 1e-300) > 1e3
     fr_fit = np.asarray(p.solveForward(freqs, res.x))
     np.testing.assert_allclose(fr_fit, fr, rtol=1e-3)
+
+
+def test_residual_chunking_matches_unchunked(problem_unsymm):
+    p = problem_unsymm
+    freqs = np.linspace(40, 300, 10)
+    ref = np.asarray(p.solveForward(freqs))
+    r1 = p.getResidualFunction(freqs, ref * 1.1)
+    r2 = p.getResidualFunction(freqs, ref * 1.1, freq_chunk=4)
+    th = jnp.asarray(np.asarray(p.parameters) * 1.02)
+    v1, J1 = r1.value_and_jac(th)
+    v2, J2 = r2.value_and_jac(th)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1), rtol=1e-5, atol=1e-12)

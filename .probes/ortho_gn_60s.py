@@ -18,7 +18,7 @@ print(f'setup + synthetic data (n_free={p.n_free}): {t_setup:.1f}s', flush=True)
 
 theta0 = np.asarray(p.parameters) * np.array([1.05, 0.95, 1.08, 1.0, 1.3])
 scaling = jnp.asarray(theta0)
-resfn = p.getResidualFunction(freqs, ref, kind='log_afc', scaling_params=scaling)
+resfn = p.getResidualFunction(freqs, ref, kind='log_afc', scaling_params=scaling, freq_chunk=128)
 
 # warm up the compile, then time the inverse proper
 _ = resfn.value_and_jac(jnp.ones(5))

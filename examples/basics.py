@@ -8,8 +8,10 @@ accelerometer at x = 10 mm on the symmetry line), same 50-point sweep, same
 The reference's golden checksums (341.9363 / 91.7139 / 91.7141 / 0.4421,
 basics.py:30-33) are tied to FreeFEM's exact coarse mesh; with this
 framework's own mesher the sums differ (resonance peaks vs. the 50-point grid
-shift by the discretisation delta), so this script records OUR golden values
-for regression instead and checks them.
+shift by the discretisation delta).  This framework's own deterministic
+golden values are asserted in tests/test_golden.py; this script prints both
+for side-by-side inspection.  Measured on TPU v5e: FR 144.7110,
+Initial 99.0879, After 99.0883, F_hist 0.1523.
 """
 # allow running from a source checkout: python examples/<name>.py
 import os, sys

@@ -18,7 +18,12 @@ from .local import (
     solve_trust_region_model,
     get_model_newt,
 )
-from .second_order import optimize_newton, optimize_lbfgs, optimize_gauss_newton
+from .second_order import (
+    optimize_newton,
+    optimize_lbfgs,
+    optimize_gauss_newton,
+    JointResidual,
+)
 
 __all__ = [
     "FixedParameterFunction",
@@ -33,4 +38,5 @@ __all__ = [
     "optimize_newton",
     "optimize_lbfgs",
     "optimize_gauss_newton",
+    "JointResidual",
 ]

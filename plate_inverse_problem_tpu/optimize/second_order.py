@@ -68,6 +68,39 @@ def optimize_newton(f, x_0, N_steps=20, damping=1e-8, f_min=1e-16,
     return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
 
 
+class JointResidual:
+    """Concatenation of several residual functions over one parameter vector.
+
+    The remedy for weakly-identified anisotropic inversions: combine FRF
+    datasets from multiple geometries / cuts of the same material (e.g. 0-
+    and 90-degree strips) into one Gauss-Newton problem.  Each element is a
+    ``Problem.getResidualFunction`` object (or any callable with the same
+    duck-typed interface); optional per-dataset weights.
+    """
+
+    def __init__(self, residuals, weights=None):
+        self._rs = list(residuals)
+        if weights is None:
+            weights = [1.0] * len(self._rs)
+        self._ws = [float(w) for w in weights]
+
+    def __call__(self, params):
+        parts = [w * r(params) for r, w in zip(self._rs, self._ws)]
+        return jnp.concatenate(parts)
+
+    def value_and_jac(self, params):
+        vals, jacs = [], []
+        for r, w in zip(self._rs, self._ws):
+            if hasattr(r, "value_and_jac"):
+                v, J = r.value_and_jac(params)
+            else:
+                v = r(params)
+                J = jax.jacfwd(r)(params)
+            vals.append(w * v)
+            jacs.append(w * J)
+        return jnp.concatenate(vals), jnp.concatenate(jacs, axis=0)
+
+
 def optimize_gauss_newton(resfn, x_0, N_steps=20, lm_damping=1e-3,
                           f_min=1e-16, backtrack=0.5, max_backtracks=15):
     """Gauss-Newton / Levenberg-Marquardt on a vector residual.

@@ -98,3 +98,24 @@ def test_gauss_newton_on_residual():
     res = optimize_gauss_newton(resfn, jnp.zeros(2), N_steps=25)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(target), atol=1e-7)
     assert res.f < 1e-14
+
+
+def test_joint_residual_identifies_jointly():
+    """Two datasets, each with a flat direction, jointly identify both params."""
+    from plate_inverse_problem_tpu.optimize import (
+        JointResidual, optimize_gauss_newton,
+    )
+
+    target = np.array([2.0, -1.0])
+
+    def res_a(x):       # only sees x0
+        return jnp.asarray([x[0] - target[0], 0.5 * (x[0] - target[0])])
+
+    def res_b(x):       # only sees x1
+        return jnp.asarray([x[1] - target[1]])
+
+    joint = JointResidual([res_a, res_b], weights=[1.0, 2.0])
+    v = np.asarray(joint(jnp.zeros(2)))
+    assert v.shape == (3,)
+    res = optimize_gauss_newton(joint, jnp.zeros(2), N_steps=10)
+    np.testing.assert_allclose(np.asarray(res.x), target, atol=1e-8)

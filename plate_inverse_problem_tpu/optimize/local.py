@@ -143,6 +143,24 @@ optResult = namedtuple(
 )
 
 
+class _Trace:
+    """Iteration bookkeeping shared by the local optimizers: records the
+    (x, f, grad) trajectory and produces the optResult record the report /
+    log writers consume (reference Optimizers.py:147-150)."""
+
+    def __init__(self):
+        self.f, self.x, self.g = [], [], []
+        self.status = "Running"
+
+    def record(self, x, f_val, grad):
+        self.x.append(x)
+        self.f.append(f_val)
+        self.g.append(grad)
+
+    def result(self, x, f_val, niter):
+        return optResult(x, f_val, self.f, self.x, self.g, niter, self.status)
+
+
 def optimize_trust_region(f, x_0, N_steps=10, delta_max=1.0, delta=None,
                           eta=0.15, method="newt", steps_to_stall=10):
     """Classic trust-region Newton with 1/4 / 3/4 radius update rules
@@ -159,9 +177,8 @@ def optimize_trust_region(f, x_0, N_steps=10, delta_max=1.0, delta=None,
     else:
         raise NotImplementedError(f"Method <<{method}>> not implemented")
 
-    f_history, x_history, grad_history = [], [], []
+    trace = _Trace()
     model_update_required = True
-    status = "Running"
     steps_without_update = 0
     x = x_0
     cur_f = g = B = None
@@ -176,58 +193,55 @@ def optimize_trust_region(f, x_0, N_steps=10, delta_max=1.0, delta=None,
         try:
             sd, lam, predicted_improvement = solve_trust_region_model(B, g, delta)
         except AssertionError as e:
-            status = str(e)
+            trace.status = str(e)
             break
 
         new_f = f(x + sd)
         rel_improvement = (cur_f - new_f) / predicted_improvement
 
-        if rel_improvement < 1.0 / 4.0:
+        # classic radius update: shrink on poor model agreement, grow when
+        # the step was radius-limited and the model was trustworthy
+        if rel_improvement < 0.25:
             delta /= 4.0
-        elif rel_improvement >= 3.0 / 4.0 and lam > 0.0:
-            delta = jnp.minimum(2.0 * delta, delta_max)
+        elif rel_improvement >= 0.75 and lam > 0.0:
+            delta = min(2.0 * delta, delta_max)
 
         if rel_improvement >= eta:
-            x += sd
+            x = x + sd
             model_update_required = True
             steps_without_update = 0
         else:
             model_update_required = False
             steps_without_update += 1
 
-        f_history.append(cur_f)
-        x_history.append(x)
-        grad_history.append(g)
+        trace.record(x, cur_f, g)
 
         if cur_f < 1e-16:
-            status = "Converged"
+            trace.status = "Converged"
             break
         if steps_without_update >= steps_to_stall:
-            status = "Stalled"
+            trace.status = "Stalled"
             break
-    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+    return trace.result(x, cur_f, k)
 
 
 def optimize_gd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     """Plain gradient descent (reference Optimizers.py:231-254)."""
     value_and_gradient = _value_and_grad_of(f)
     x = x_0
-    x_history, f_history, grad_history = [], [], []
-    status = "Running"
+    trace = _Trace()
     cur_f = None
     k = 0
 
     for k in range(N_steps):
         cur_f, g = value_and_gradient(x)
-        x_history.append(x)
-        f_history.append(cur_f)
-        grad_history.append(g)
+        trace.record(x, cur_f, g)
         if cur_f <= f_min:
-            status = "Converged"
+            trace.status = "Converged"
             break
-        x -= h * g
+        x = x - h * g
 
-    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+    return trace.result(x, cur_f, k)
 
 
 def optimize_cd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
@@ -236,25 +250,22 @@ def optimize_cd(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     x = x_0
     n = x_0.size
     assert n >= 2
-    template = jnp.eye(n)
-    x_history, f_history, grad_history = [], [], []
-    status = "Running"
+    coord_mask = jnp.eye(n)
+    trace = _Trace()
     cur_f = None
     k = 0
 
     for k in range(N_steps):
         for i in range(n):
             cur_f, g = value_and_gradient(x)
-            g *= template[i, :]
-            x_history.append(x)
-            f_history.append(cur_f)
-            grad_history.append(g)
+            g = g * coord_mask[i]
+            trace.record(x, cur_f, g)
             if cur_f <= f_min:
-                status = "Converged"
+                trace.status = "Converged"
                 break
-            x -= h * g
+            x = x - h * g
 
-    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+    return trace.result(x, cur_f, k)
 
 
 def optimize_cd_mem(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
@@ -264,29 +275,26 @@ def optimize_cd_mem(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     x = x_0
     n = x_0.size
     assert n >= 2
-    template = jnp.reshape(jnp.where(jnp.eye(n) == 0)[1], (n, n - 1))
-    grad_template = jnp.eye(n)
-    x_history, f_history, grad_history = [], [], []
-    status = "Running"
+    others = jnp.reshape(jnp.where(jnp.eye(n) == 0)[1], (n, n - 1))
+    coord_mask = jnp.eye(n)
+    trace = _Trace()
     cur_f = None
     k = 0
 
     for k in range(N_steps):
         for i in range(n):
             fixed_f = FixedParameterFunction(
-                f_, n, tuple(np.asarray(template[i])), tuple(np.asarray(x[template[i]]))
+                f_, n, tuple(np.asarray(others[i])), tuple(np.asarray(x[others[i]]))
             )
             cur_f, g = jax.value_and_grad(fixed_f)(x[fixed_f.free_idx])
-            g_full = grad_template[i] * g[0]
-            x_history.append(x)
-            f_history.append(cur_f)
-            grad_history.append(g_full)
+            g_full = coord_mask[i] * g[0]
+            trace.record(x, cur_f, g_full)
             if cur_f <= f_min:
-                status = "Converged"
+                trace.status = "Converged"
                 break
-            x -= h * g_full
+            x = x - h * g_full
 
-    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+    return trace.result(x, cur_f, k)
 
 
 def optimize_cd_mem2(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
@@ -306,27 +314,26 @@ def optimize_cd_mem2(f, x_0, N_steps=100, h=0.01, f_min=1e-8):
     x = x_0
     n = x_0.size
     assert n >= 2
-    template = jnp.reshape(jnp.where(jnp.eye(n) == 0)[1], (n, n - 1))
-    h_ = np.full(n, h)
-    grad_template = jnp.eye(n)
-    x_history, f_history, grad_history = [], [], []
-    status = "Running"
+    others = jnp.reshape(jnp.where(jnp.eye(n) == 0)[1], (n, n - 1))
+    step_sizes = np.full(n, h)
+    coord_mask = jnp.eye(n)
+    trace = _Trace()
     cur_f = None
     k = 0
 
     for k in range(N_steps):
         for i in range(n):
-            cur_f, g = vg(x[i], i, x[template[i]])
-            g_full = grad_template[i] * g
-            x_history.append(x)
-            f_history.append(cur_f)
-            grad_history.append(g_full)
+            cur_f, g = vg(x[i], i, x[others[i]])
+            g_full = coord_mask[i] * g
+            trace.record(x, cur_f, g_full)
             if cur_f <= f_min:
-                status = "Converged"
+                trace.status = "Converged"
                 break
-            x -= h_[i] * g_full
-            if f_(x[i], i, x[template[i]]) > f_history[-1]:
-                h_[i] /= 5
-                x = x_history[-1] - h_[i] * g_full
+            x = x - step_sizes[i] * g_full
+            # per-coordinate backtracking: if the step increased the loss,
+            # shrink this coordinate's step and retry from the last iterate
+            if f_(x[i], i, x[others[i]]) > trace.f[-1]:
+                step_sizes[i] /= 5
+                x = trace.x[-1] - step_sizes[i] * g_full
 
-    return optResult(x, cur_f, f_history, x_history, grad_history, k, status)
+    return trace.result(x, cur_f, k)

@@ -97,20 +97,42 @@ def build_prolongation(fine_mesh, coarse_mesh, fine_free_idx, coarse_free_idx,
 
 
 def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
-                         jacobi_weight: float = 0.6):
+                         jacobi_weight: float = 0.6, row_scale=None):
     """Host-side data for the two-level cycle on an equilibrated SPD K.
 
-    Returns a dict of numpy arrays: Jacobi weights, Galerkin coarse dense
-    inverse, and the prolongation in flat-COO form for on-device SpMV.
+    ``row_scale``: the fine-grid equilibration vector s (K here is S K_phys
+    S).  The geometric prolongation is built in PHYSICAL DOF space, so it
+    must be mapped into scaled variables, P~ = S^-1 P — without this the
+    coarse correction cannot represent the scaled smooth error and the cycle
+    stalls near rate ~0.95; with it the measured rate is ~0.29
+    (tests/test_mg.py).
+
+    Returns a dict of numpy arrays: inverse diagonal, the Chebyshev
+    smoothing interval (lambda_max of D^-1 K from power iteration), the
+    Galerkin coarse dense inverse, and the prolongation in flat-COO form
+    for on-device SpMV.
     """
     import scipy.sparse as sp
+
+    if row_scale is not None:
+        P_csr = (sp.diags(1.0 / np.asarray(row_scale)) @ P_csr).tocsr()
 
     K = sp.csc_matrix((K_flat, (rows, cols)), shape=(n, n))
     K = 0.5 * (K + K.T)
 
     d = np.asarray(K.diagonal())
     d = np.where(np.abs(d) > 0, d, 1.0)
-    jac = jacobi_weight / d
+    dinv = 1.0 / d
+
+    # lambda_max(D^-1 K) by power iteration (host, one-time)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+    lmax = 1.0
+    for _ in range(30):
+        w = dinv * (K @ v)
+        lmax = np.linalg.norm(w)
+        v = w / lmax
+    lmax *= 1.05  # safety margin
 
     Kc = (P_csr.T @ (K @ P_csr)).toarray()
     Kc = 0.5 * (Kc + Kc.T)
@@ -118,7 +140,9 @@ def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
 
     Pcoo = P_csr.tocoo()
     return {
-        "jac": jac,
+        "jac": jacobi_weight * dinv,
+        "dinv": dinv,
+        "lmax": float(lmax),
         "Kc_inv32": Kc_inv.astype(np.float32),
         "P_rows": Pcoo.row.astype(np.int32),
         "P_cols": Pcoo.col.astype(np.int32),
@@ -127,11 +151,35 @@ def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
     }
 
 
-def two_level_apply(mg, K_flat, rows, cols, n: int, r):
-    """One symmetric two-level cycle: pre-smooth, coarse correction,
-    post-smooth.  Pure flat-pattern ops + one small GEMM — device friendly,
-    O(nnz) memory.  ``r`` may be batched (..., n)."""
-    jac = mg["jac"]
+def _chebyshev_smooth(mg, K_mv, r, e0=None, steps: int = 3,
+                      spectrum_fraction: float = 4.0):
+    """Chebyshev polynomial smoothing on the interval
+    [lmax/spectrum_fraction, lmax] of D^-1 K (the standard AMG smoother —
+    targets the high-frequency error the coarse grid cannot see)."""
+    dinv = mg["dinv"]
+    lmax = mg["lmax"]
+    lmin = lmax / spectrum_fraction
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+
+    e = jnp.zeros_like(r) if e0 is None else e0
+    res = r if e0 is None else r - K_mv(e)
+    p = dinv * res / theta
+    for _ in range(steps - 1):
+        e = e + p
+        res = res - K_mv(p)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        p = rho_new * rho * p + (2.0 * rho_new / delta) * (dinv * res)
+        rho = rho_new
+    return e + p
+
+
+def two_level_apply(mg, K_flat, rows, cols, n: int, r, smooth_steps: int = 3):
+    """One symmetric two-level cycle: Chebyshev pre-smooth, coarse
+    correction, Chebyshev post-smooth.  Pure flat-pattern ops + one small
+    GEMM — device friendly, O(nnz) memory.  ``r`` may be batched (..., n)."""
     Pr, Pc, Pv = mg["P_rows"], mg["P_cols"], mg["P_vals"]
     nc = mg["nc"]
 
@@ -145,12 +193,11 @@ def two_level_apply(mg, K_flat, rows, cols, n: int, r):
         return spmv_flat(Pv, Pr, Pc, x, n)
 
     # pre-smooth
-    e = jac * r
+    e = _chebyshev_smooth(mg, K_mv, r, steps=smooth_steps)
     res = r - K_mv(e)
     # coarse correction
     rc = restrict(res)
     ec = jnp.einsum("ij,...j->...i", mg["Kc_inv32"], rc.astype(jnp.float32))
     e = e + prolong(ec.astype(r.dtype))
     # post-smooth
-    res = r - K_mv(e)
-    return e + jac * res
+    return _chebyshev_smooth(mg, K_mv, r, e0=e, steps=smooth_steps)

@@ -202,6 +202,21 @@ class Geometry:
             self._export_vtk = False
         return self._mesh
 
+    def coarsened(self, factor: float = 2.0) -> "Geometry":
+        """A coarser Geometry of the same template (multigrid hierarchies).
+
+        Only template-based geometries can be coarsened (mesh/.msh imports
+        have no parametric description to regenerate from).
+        """
+        if self.template is None or self._mesh is not None and self.template is None:
+            raise ValueError("Only template-based geometries can be coarsened.")
+        g = Geometry.__new__(Geometry)
+        g.__dict__.update(self.__dict__)
+        g._mesh = None
+        g._export_vtk = False
+        g._refine = self._refine / factor
+        return g
+
     @property
     def test_point(self) -> tuple[float, float]:
         """AFC measurement point == accelerometer centre (symm.edp:13-14)."""

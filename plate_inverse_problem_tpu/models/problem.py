@@ -227,6 +227,9 @@ class Problem:
         n_modes: int | None = None,     # optional modal truncation
         f_max: float = 600.0,           # band edge for the mixed engine [Hz]
         n_refine: int = 12,             # mixed-engine refinement cap (adaptive)
+        precond: str = "dense",         # mixed-engine complement precond:
+                                        # 'dense' (f32 inverse, <=20k DOF) or
+                                        # 'mg' (O(nnz) two-level cycle)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -237,6 +240,11 @@ class Problem:
         self.n_modes = n_modes
         self.f_max = f_max
         self.n_refine = n_refine
+        if precond not in ("dense", "mg"):
+            raise ValueError(
+                f"Unknown precond {precond!r}; valid options: 'dense', 'mg'."
+            )
+        self.precond = precond
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -616,6 +624,19 @@ class Problem:
         n = op.n_free
         h = self.geometry.height
         n_refine = self.n_refine
+        def _mg_kwargs(od):
+            # reads _mg_static at trace time (set further down in this
+            # method, before the cores are ever traced)
+            if "mg_jac" not in od:
+                return {}
+            mg_static = self._mg_static
+            mg = {
+                "jac": od["mg_jac"], "dinv": od["mg_dinv"],
+                "Kc_inv32": od["mg_Kc_inv32"], "P_rows": od["mg_P_rows"],
+                "P_cols": od["mg_P_cols"], "P_vals": od["mg_P_vals"],
+                "lmax": mg_static["lmax"], "nc": mg_static["nc"],
+            }
+            return {"mg": mg, "K_ref64": od["Kref64"]}
 
         K_ref_eq = K_ref * ss
         M_eq = self.MInertia * ss
@@ -624,9 +645,6 @@ class Problem:
             K_ref_eq, M_eq, op.pattern.rows, op.pattern.cols, n,
             omega_max=om_max,
         )
-        invK32 = static_preconditioner_host(
-            K_ref_eq, op.pattern.rows, op.pattern.cols, n
-        )
 
         base = {
             "rows": jnp.asarray(op.pattern.rows),
@@ -634,8 +652,43 @@ class Problem:
             "MIn": jnp.asarray(M_eq, jnp.float64),
             "fIn": jnp.asarray(self.fInertia * scale_vec, jnp.float64),
             "W64": jnp.asarray(W64, jnp.float64),
-            "invK32": jnp.asarray(invK32, jnp.float32),
         }
+
+        if self.precond == "mg":
+            # O(nnz) two-level complement preconditioner (100k-DOF path):
+            # coarse Galerkin correction through an FE-basis prolongation,
+            # scale-consistent with the equilibration (ops/mg.py)
+            from ..ops.mg import build_prolongation, build_two_level_host
+
+            coarse = Problem(
+                self.geometry.coarsened(2.0), self.material,
+                self.accelerometer, engine="direct",
+            )
+            P = build_prolongation(
+                self.mesh, coarse.mesh, op.free_idx, coarse.op.free_idx,
+                op.constrained, coarse.op.constrained,
+                three_field=not self.is_symmetric_path,
+            )
+            mg_host = build_two_level_host(
+                K_ref_eq, op.pattern.rows, op.pattern.cols, n, P,
+                row_scale=scale_vec,
+            )
+            base |= {
+                "invK32": jnp.zeros((1, 1), jnp.float32),  # unused dummy
+                "Kref64": jnp.asarray(K_ref_eq, jnp.float64),
+                "mg_jac": jnp.asarray(mg_host["jac"], jnp.float64),
+                "mg_dinv": jnp.asarray(mg_host["dinv"], jnp.float64),
+                "mg_Kc_inv32": jnp.asarray(mg_host["Kc_inv32"], jnp.float32),
+                "mg_P_rows": jnp.asarray(mg_host["P_rows"]),
+                "mg_P_cols": jnp.asarray(mg_host["P_cols"]),
+                "mg_P_vals": jnp.asarray(mg_host["P_vals"], jnp.float64),
+            }
+            self._mg_static = {"lmax": mg_host["lmax"], "nc": mg_host["nc"]}
+        else:
+            invK32 = static_preconditioner_host(
+                K_ref_eq, op.pattern.rows, op.pattern.cols, n
+            )
+            base["invK32"] = jnp.asarray(invK32, jnp.float32)
 
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)
@@ -662,7 +715,7 @@ class Problem:
                 U_re, U_im = mixed_sweep(
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                    n_refine=n_refine,
+                    n_refine=n_refine, **_mg_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -720,7 +773,7 @@ class Problem:
             U_re, U_im = mixed_sweep(
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                n_refine=n_refine,
+                n_refine=n_refine, **_mg_kwargs(od),
             )
 
             def mag2(rvec, r0):

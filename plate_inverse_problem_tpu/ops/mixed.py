@@ -134,7 +134,8 @@ def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
 # ---------------------------------------------------------------------------
 
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
-                W64, invK32, n_refine: int = 8, refine_tol: float = 3e-7):
+                W64, invK32, n_refine: int = 8, refine_tol: float = 3e-7,
+                mg=None, K_ref64=None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -148,6 +149,12 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     ``while_loop`` is safe here because the solve closure of
     ``custom_linear_solve`` is a numerical method — it is never
     differentiated, so reverse-mode AD is unaffected.
+
+    Complement preconditioner: the dense f32 inverse ``invK32`` by default;
+    pass ``mg`` (the dict from ``ops.mg.build_two_level_host``, as jnp
+    arrays) plus ``K_ref64`` (static equilibrated reference stiffness, flat
+    f64) to use the O(nnz) two-level cycle instead (the 100k-DOF path —
+    ``invK32`` may then be a (1, 1) dummy).
 
     Returns (U_re, U_im) f64 — validated at ~3e-8 relative against f64
     sparse LU including exactly at resonances (tests/test_mixed.py).
@@ -182,6 +189,15 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     Zw64 = W64 @ Qw                                    # (n, m) band modes, f64
 
     MZ64 = _spmv64(Ms64, rows, cols, Zw64.T, n).T      # (n, m) M-weighted
+
+    if mg is not None:
+        from .mg import two_level_apply
+
+        def precond(x64):
+            return two_level_apply(mg, K_ref64, rows, cols, n, x64)
+    else:
+        def precond(x64):
+            return (invK32 @ x64.astype(jnp.float32)).astype(jnp.float64)
 
     def one(om, b_re_in, b_im_in):
         om64 = om.astype(jnp.float64)
@@ -226,11 +242,11 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                     )
                     rn2 = jnp.sum(r_re * r_re) + jnp.sum(r_im * r_im)
                     db_re, db_im = band_solve_f64(r_re, r_im)
-                    # deflate band component before the f32 preconditioner
+                    # deflate band component before the complement precond
                     rc_re = r_re - MZ64 @ (Zw64.T @ r_re)
                     rc_im = r_im - MZ64 @ (Zw64.T @ r_im)
-                    dc_re = (invK32 @ rc_re.astype(jnp.float32)).astype(jnp.float64)
-                    dc_im = (invK32 @ rc_im.astype(jnp.float32)).astype(jnp.float64)
+                    dc_re = precond(rc_re)
+                    dc_im = precond(rc_im)
                     return (u_re + db_re + dc_re, u_im + db_im + dc_im,
                             k + 1, rn2)
 

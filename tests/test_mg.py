@@ -90,3 +90,26 @@ def test_two_level_contracts_on_plate():
     # scale-consistent prolongation gives production-grade contraction
     assert errs[-1] < 1e-4 * errs[0]
     assert rate < 0.5
+
+def test_mixed_engine_with_mg_precond_matches_modal():
+    """End-to-end: Problem(engine='mixed', precond='mg') reproduces the modal
+    engine's FRF — the O(nnz) complement preconditioner path that replaces
+    the dense f32 inverse beyond ~20k DOF."""
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def make(**kw):
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=2,
+        )
+        return pip.Problem(geom, mat, acc, **kw)
+
+    freqs = np.linspace(60.0, 400.0, 9)
+    theta = np.asarray(make(engine="modal").parameters)
+
+    y_ref = np.asarray(make(engine="modal").getFRFunction()(freqs, theta))
+    p_mg = make(engine="mixed", precond="mg")
+    y_mg = np.asarray(p_mg.getFRFunction()(freqs, theta))
+
+    np.testing.assert_allclose(y_mg, y_ref, rtol=5e-5)

@@ -136,6 +136,16 @@ def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
 
     Kc = (P_csr.T @ (K @ P_csr)).toarray()
     Kc = 0.5 * (Kc + Kc.T)
+    # A coarse DOF whose P column is empty (e.g. a sliver coarse triangle
+    # near a curved hole that contains no fine sample point) makes Kc
+    # singular.  Such a coordinate receives zero restricted residual and
+    # feeds nothing back through P, so pinning its diagonal to 1 is exact —
+    # the coarse correction is unchanged.
+    dead = np.asarray(P_csr.multiply(P_csr).sum(axis=0)).ravel() == 0.0
+    if dead.any():
+        Kc[dead, :] = 0.0
+        Kc[:, dead] = 0.0
+        Kc[dead, dead] = 1.0
     Kc_inv = np.linalg.inv(Kc)
 
     Pcoo = P_csr.tocoo()

@@ -494,6 +494,20 @@ class Problem:
         n_modes = self.n_modes
         h = self.geometry.height
 
+        # Custom materials may depend on omega (the reference evaluates
+        # transform(theta, omega) at every frequency, Problem.py:397-399).
+        # Only the direct engine supports that: modal assumes a constant
+        # real pencil and mixed builds its operator once per sweep.
+        freq_dep = self._transform_is_freq_dependent()
+        if freq_dep and engine != "direct":
+            warnings.warn(
+                f"Material transform is frequency-dependent; engine "
+                f"{engine!r} assumes a frequency-constant operator — "
+                f"falling back to engine='direct'.",
+                RuntimeWarning,
+            )
+            engine = "direct"
+
         # Symmetric diagonal equilibration.  The 3-field plate operator mixes
         # membrane (~E*h) and bending (~E*h^3) scales plus the h^-4 stiffness
         # growth of the biharmonic operator: raw condition numbers reach 1e7+
@@ -534,10 +548,16 @@ class Problem:
             def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
                 params = jnp.asarray(params).astype(rdt)
-                D = transform(params, omegas[0]).astype(cdt)
-                K_flat = jnp.einsum("k,kn->n", D, od["Ks"].astype(cdt))
-                bK = jnp.einsum("k,kn->n", D, od["fKs"].astype(cdt))
-                B = (bK[None, :]
+                if freq_dep:
+                    D = jax.vmap(lambda om: transform(params, om))(
+                        omegas).astype(cdt)                       # (F, 6)
+                    K_flat = jnp.einsum("fk,kn->fn", D, od["Ks"].astype(cdt))
+                    bK = jnp.einsum("fk,kn->fn", D, od["fKs"].astype(cdt))
+                else:
+                    D = transform(params, omegas[0]).astype(cdt)
+                    K_flat = jnp.einsum("k,kn->n", D, od["Ks"].astype(cdt))
+                    bK = jnp.einsum("k,kn->n", D, od["fKs"].astype(cdt))
+                B = (jnp.atleast_2d(bK)
                      - (omegas**2)[:, None] * od["fIn"][None, :].astype(cdt))
                 U = sweep_solve(K_flat, od["MIn"], B, omegas,
                                 od["rows"], od["cols"], n,
@@ -587,11 +607,23 @@ class Problem:
             def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
                 params = jnp.asarray(params).astype(rdt)
-                Av, Bv, Dv = transform(params, omegas[0])
-                coeffs = jnp.stack([Av, Bv, Dv]).astype(cdt)  # (3, 6)
-                K_flat = jnp.einsum("mk,mkn->n", coeffs, od["ABD"].astype(cdt))
-                bK = jnp.einsum("mk,mkn->n", coeffs, od["fABD"].astype(cdt))
-                B = (bK[None, :]
+                if freq_dep:
+                    def _c(om):
+                        Av, Bv, Dv = transform(params, om)
+                        return jnp.stack([Av, Bv, Dv])
+                    coeffs = jax.vmap(_c)(omegas).astype(cdt)     # (F, 3, 6)
+                    K_flat = jnp.einsum("fmk,mkn->fn", coeffs,
+                                        od["ABD"].astype(cdt))
+                    bK = jnp.einsum("fmk,mkn->fn", coeffs,
+                                    od["fABD"].astype(cdt))
+                else:
+                    Av, Bv, Dv = transform(params, omegas[0])
+                    coeffs = jnp.stack([Av, Bv, Dv]).astype(cdt)  # (3, 6)
+                    K_flat = jnp.einsum("mk,mkn->n", coeffs,
+                                        od["ABD"].astype(cdt))
+                    bK = jnp.einsum("mk,mkn->n", coeffs,
+                                    od["fABD"].astype(cdt))
+                B = (jnp.atleast_2d(bK)
                      - (omegas**2)[:, None] * od["fIn"][None, :].astype(cdt))
                 U = sweep_solve(K_flat, od["MIn"], B, omegas,
                                 od["rows"], od["cols"], n,
@@ -787,6 +819,28 @@ class Problem:
             return jnp.sqrt(ts * ts * (u2 + v2) + w2).astype(rdt)
 
         return core, opdata
+
+    def _transform_is_freq_dependent(self) -> bool:
+        """Host probe: does the material transform depend on omega?  The
+        built-in families are omega-independent; custom materials may not be
+        (reference Problem.py:397-399 evaluates transform(theta, omega) at
+        every frequency).  Without known parameters the probe is skipped and
+        the transform is assumed independent."""
+        theta = getattr(self, "parameters", None)
+        if theta is None:
+            return False
+        theta = np.asarray(theta, np.float64)
+        h = self.geometry.height
+        tr = (self.material.get_D_transform(h) if self.is_symmetric_path
+              else self.material.get_ABD_transform(h))
+        a = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tr(theta, 0.0)))
+        b = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tr(theta, 1234.5)))
+        return not all(
+            np.allclose(x, y, rtol=1e-12, atol=0.0, equal_nan=True)
+            for x, y in zip(a, b)
+        )
 
     def _reference_stiffness_flat(self) -> np.ndarray:
         """Flat (signed) Re K(theta_ref) data: equilibration scale source and

@@ -135,6 +135,21 @@ def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
     one chunk of factors (the reference instead refactorizes per solve,
     InnerState.h:251-305).
     """
+    K_flat = jnp.asarray(K_flat)
+    if K_flat.ndim == 2:
+        # frequency-dependent stiffness: K_flat is (F, nnz), one operator
+        # per frequency (reference Problem.py:397-399 evaluates the material
+        # transform at every omega inside the vmapped solve)
+        Md = to_dense(M_flat, rows, cols, n).astype(K_flat.dtype)
+
+        @jax.checkpoint
+        def one_fd(args):
+            om, b, kf = args
+            A = to_dense(kf, rows, cols, n) - (om**2) * Md
+            return jnp.linalg.solve(A, b)
+
+        return jax.lax.map(one_fd, (omegas, B, K_flat), batch_size=chunk)
+
     Kd = to_dense(K_flat, rows, cols, n)
     Md = to_dense(M_flat, rows, cols, n).astype(Kd.dtype)
 

@@ -303,3 +303,72 @@ def test_residual_chunking_matches_unchunked(problem_unsymm):
     v2, J2 = r2.value_and_jac(th)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-7, atol=1e-12)
     np.testing.assert_allclose(np.asarray(J2), np.asarray(J1), rtol=1e-5, atol=1e-12)
+
+
+class _FreqDepIsotropic(pip.Isotropic):
+    """Custom material with omega-dependent damping beta(omega) =
+    beta0 * (1 + omega/omega_ref) — exercises the reference's per-frequency
+    transform contract (Problem.py:397-399) through the direct engine."""
+
+    OMEGA_REF = 2.0 * np.pi * 300.0
+
+    def get_D_transform(self, h):
+        base = super().get_D_transform(h)
+
+        def _t(params, omega=0.0):
+            E, G, beta = params[0], params[1], params[2]
+            b_om = beta * (1.0 + omega / self.OMEGA_REF)
+            return base(jnp.stack([E, G, b_om]), 0.0)
+
+        return _t
+
+    def get_ABD_transform(self, h):
+        base = super().get_ABD_transform(h)
+
+        def _t(params, omega=0.0):
+            E, G, beta = params[0], params[1], params[2]
+            b_om = beta * (1.0 + omega / self.OMEGA_REF)
+            return base(jnp.stack([E, G, b_om]), 0.0)
+
+        return _t
+
+    @property
+    def scalar_loss_factor(self):
+        return False
+
+
+def test_frequency_dependent_transform_direct_engine():
+    """Per-frequency material evaluation: the omega-dependent transform run
+    through one sweep matches omega-constant problems evaluated one
+    frequency at a time with beta pinned to beta(omega_i)."""
+    acc = pip.Accelerometer("AP1030")
+    gp = dict(length=100e-3, width=20e-3, height=2e-3, accel_x=10e-3)
+    mat_fd = _FreqDepIsotropic(7920.0, E=200e9, G=75e9, beta=0.01)
+    geom = pip.Geometry("symm", acc, pip.GeometryParams(**gp), ny=1)
+    p_fd = pip.Problem(geom, mat_fd, acc, engine="direct")
+    freqs = np.array([80.0, 150.0, 300.0])
+    theta = np.asarray(p_fd.parameters)
+    y_fd = np.asarray(p_fd.getFRFunction()(freqs, theta))
+
+    for i, f in enumerate(freqs):
+        om = 2.0 * np.pi * f
+        b_i = 0.01 * (1.0 + om / _FreqDepIsotropic.OMEGA_REF)
+        mat_i = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=b_i)
+        geom_i = pip.Geometry("symm", acc, pip.GeometryParams(**gp), ny=1)
+        p_i = pip.Problem(geom_i, mat_i, acc, engine="direct")
+        theta_i = np.array([theta[0], theta[1], b_i])
+        y_i = np.asarray(p_i.getFRFunction()(np.array([f]), theta_i))
+        np.testing.assert_allclose(y_fd[i], y_i[0], rtol=1e-9)
+
+
+def test_frequency_dependent_transform_falls_back_from_modal():
+    """Asking the modal engine to run an omega-dependent material warns and
+    silently uses the direct engine instead of returning wrong physics."""
+    acc = pip.Accelerometer("AP1030")
+    mat_fd = _FreqDepIsotropic(7920.0, E=200e9, G=75e9, beta=0.01)
+    geom = pip.Geometry(
+        "symm", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1
+    )
+    p = pip.Problem(geom, mat_fd, acc, engine="modal")
+    with pytest.warns(RuntimeWarning, match="frequency-dependent"):
+        core, opdata = p.getFRCore()

@@ -833,10 +833,13 @@ class Problem:
         h = self.geometry.height
         tr = (self.material.get_D_transform(h) if self.is_symmetric_path
               else self.material.get_ABD_transform(h))
-        a = jax.tree_util.tree_leaves(
-            jax.tree_util.tree_map(np.asarray, tr(theta, 0.0)))
-        b = jax.tree_util.tree_leaves(
-            jax.tree_util.tree_map(np.asarray, tr(theta, 1234.5)))
+        # probe on the host CPU: f64 theta promotes to complex128 inside the
+        # transforms, which the TPU backend rejects even for eager scalars
+        with jax.default_device(jax.devices("cpu")[0]):
+            a = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, tr(theta, 0.0)))
+            b = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, tr(theta, 1234.5)))
         return not all(
             np.allclose(x, y, rtol=1e-12, atol=0.0, equal_nan=True)
             for x, y in zip(a, b)

@@ -119,3 +119,53 @@ def test_joint_residual_identifies_jointly():
     assert v.shape == (3,)
     res = optimize_gauss_newton(joint, jnp.zeros(2), N_steps=10)
     np.testing.assert_allclose(np.asarray(res.x), target, atol=1e-8)
+
+
+def test_joint_multicut_orthotropic_identification():
+    """Three strip cuts (SOL at 0/90/45 deg) sharing one theta make the
+    orthotropic inverse well-posed — the 45-degree cut couples G12/nu12
+    into bending.  Full recipe in examples/joint_identification.py."""
+    import plate_inverse_problem_tpu as pip
+    from plate_inverse_problem_tpu.optimize.second_order import (
+        JointResidual, optimize_gauss_newton,
+    )
+
+    TRUE = np.array([120e9, 8.5e9, 4.5e9, 0.30, 0.006])
+
+    def make(angle):
+        acc = pip.Accelerometer("AP1030")
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+        mat = pip.get_material(
+            1550.0, "sol", angles=(angle,),
+            E1=TRUE[0], E2=TRUE[1], G12=TRUE[2], nu12=TRUE[3], beta=TRUE[4],
+        )
+        return pip.Problem(geom, mat, acc, engine="direct")
+
+    freqs = np.linspace(40.0, 500.0, 48)
+    problems = [make(a) for a in (0.0, 90.0, 45.0)]
+
+    class Scaled:
+        def __init__(self, res):
+            self._res = res
+
+        def __call__(self, s):
+            return self._res(jnp.asarray(s) * TRUE)
+
+        def value_and_jac(self, s):
+            v, J = self._res.value_and_jac(jnp.asarray(s) * TRUE)
+            return v, J * jnp.asarray(TRUE)[None, :]
+
+    joint = JointResidual([
+        Scaled(p.getResidualFunction(
+            freqs, np.asarray(p.getFRFunction()(freqs, TRUE)).astype(complex),
+            "log_afc"))
+        for p in problems
+    ])
+    s0 = np.array([1.15, 0.85, 1.20, 0.90, 1.25])
+    out = optimize_gauss_newton(joint, s0, N_steps=20)
+    # |FRF| is even in beta, so +-beta are both exact minima of a
+    # log-magnitude residual (phase data fixes the sign; kind='complex').
+    np.testing.assert_allclose(np.abs(np.asarray(out.x)), 1.0, atol=1e-4)

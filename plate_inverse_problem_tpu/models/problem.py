@@ -1209,34 +1209,62 @@ class Problem:
         """
         if params is None:
             params = self.parameters
-        if not self.is_symmetric_path:
-            raise NotImplementedError("Mode picture for non-symmetric solver.")
 
         import matplotlib.pyplot as plt
 
         op = self.op
         prec = self.precision
+        h = self.geometry.height
         freqs = jnp.asarray([freq], prec.real)
-        transform = self.material.get_D_transform(self.geometry.height)
 
-        # eager (un-jitted) single-frequency solve — visualization path
-        rows = jnp.asarray(op.pattern.rows)
-        cols = jnp.asarray(op.pattern.cols)
-        omegas = 2.0 * jnp.pi * freqs
-        D = transform(jnp.asarray(params, prec.real), omegas[0]).astype(prec.complex)
-        K_flat = jnp.einsum("k,kn->n", D, jnp.asarray(op.Ks, prec.complex))
-        bK = jnp.einsum("k,kn->n", D, jnp.asarray(op.fKs, prec.complex))
-        B = bK[None, :] - (omegas**2)[:, None] * jnp.asarray(
-            self.fInertia, prec.complex
-        )[None, :]
-        U = sweep_solve(K_flat, jnp.asarray(self.MInertia, prec.real), B,
-                        omegas, rows, cols, op.n_free,
-                        engine=self._engine(), chunk=self.chunk)
+        # eager (un-jitted) single-frequency solve on the host CPU —
+        # visualization path; plain LU there regardless of the sweep engine
+        # (the mixed engine's band operators aren't needed for one frame,
+        # and the reference's 3-field case raises NotImplementedError at
+        # Problem.py:536 — here it renders |w|).
+        with jax.default_device(jax.devices("cpu")[0]):
+            rows = jnp.asarray(op.pattern.rows)
+            cols = jnp.asarray(op.pattern.cols)
+            omegas = 2.0 * jnp.pi * freqs
+            params_j = jnp.asarray(params, prec.real)
+            if self.is_symmetric_path:
+                transform = self.material.get_D_transform(h)
+                D = transform(params_j, omegas[0]).astype(prec.complex)
+                K_flat = jnp.einsum("k,kn->n", D,
+                                    jnp.asarray(op.Ks, prec.complex))
+                bK = jnp.einsum("k,kn->n", D,
+                                jnp.asarray(op.fKs, prec.complex))
+            else:
+                transform = self.material.get_ABD_transform(h)
+                Av, Bv, Dv = transform(params_j, omegas[0])
+                coeffs = jnp.stack([Av, Bv, Dv]).astype(prec.complex)
+                ABD = np.stack([
+                    op.mat_stack(["A" + x for x in MODULI_INDICES]),
+                    op.mat_stack(["B" + x for x in MODULI_INDICES]),
+                    op.mat_stack(["D" + x for x in MODULI_INDICES]),
+                ])
+                fABD = np.stack([
+                    op.lift_stack(["A" + x for x in MODULI_INDICES]),
+                    op.lift_stack(["B" + x for x in MODULI_INDICES]),
+                    op.lift_stack(["D" + x for x in MODULI_INDICES]),
+                ])
+                K_flat = jnp.einsum("mk,mkn->n", coeffs,
+                                    jnp.asarray(ABD, prec.complex))
+                bK = jnp.einsum("mk,mkn->n", coeffs,
+                                jnp.asarray(fABD, prec.complex))
+            B = bK[None, :] - (omegas**2)[:, None] * jnp.asarray(
+                self.fInertia, prec.complex
+            )[None, :]
+            U = sweep_solve(K_flat, jnp.asarray(self.MInertia, prec.real), B,
+                            omegas, rows, cols, op.n_free,
+                            engine="direct", chunk=self.chunk)
         u_free = np.asarray(U[0])
 
-        complete = np.array(op.boundary_value)
+        complete = np.array(op.boundary_value, np.float64)
         complete[~op.constrained] = np.abs(u_free)
-        vertex_vals = complete[: self.mesh.num_nodes]
+        V = self.mesh.num_nodes
+        w_off = 0 if self.is_symmetric_path else 2 * V
+        vertex_vals = complete[w_off: w_off + V]
 
         if ax is None:
             ax = plt.gca()

@@ -372,3 +372,32 @@ def test_frequency_dependent_transform_falls_back_from_modal():
     p = pip.Problem(geom, mat_fd, acc, engine="modal")
     with pytest.warns(RuntimeWarning, match="frequency-dependent"):
         core, opdata = p.getFRCore()
+
+
+def test_mode_picture_both_paths(tmp_path):
+    """getModePicture renders on the symmetric AND 3-field paths (the
+    reference raises NotImplementedError for the latter, Problem.py:536)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def geom():
+        return pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+
+    p3 = pip.Problem(geom(), mat, acc)
+    theta = np.asarray(p3.parameters)
+    fig, ax = plt.subplots()
+    p3.getModePicture(150.0, ax=ax)
+    fig.savefig(tmp_path / "m3.png")
+
+    ps = pip.Problem(geom(), mat, None)
+    fig, ax = plt.subplots()
+    ps.getModePicture(150.0, ax=ax, params=theta)
+    fig.savefig(tmp_path / "ms.png")
+    plt.close("all")

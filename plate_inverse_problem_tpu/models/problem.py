@@ -103,6 +103,15 @@ class LossFunction:
         self._hess = None
         self._vgh = None
 
+    def pure(self):
+        """``(fn, aux)`` with ``fn(params, *aux) -> scalar`` traceable.
+
+        The compiled optimizers (optimize.local) trace ``fn`` inside their
+        scan loops and thread ``aux`` — the operator pytree, frequencies and
+        reference FRF — as jit arguments, keeping the FEM arrays out of the
+        HLO constant pool (see Problem.getFRCore)."""
+        return self._full, (self._opdata, self._freqs, self._ref)
+
     def __call__(self, params):
         return self._value(params, self._opdata, self._freqs, self._ref)
 

@@ -36,8 +36,8 @@ fr = fn(fs, p.parameters)[: freqs.size]
 print(f"sharded FRF sum: {float(np.sum(np.abs(np.asarray(fr)))):.4f}")
 
 step = sharded_train_step(p, mesh)
-rs = shard_frequencies(mesh, jnp.asarray(np.asarray(fr)))
+ref = np.asarray(fr)
 theta = p.parameters * jnp.asarray([1.05, 1.05, 1.2])
 for it in range(3):
-    loss, grad, theta = step(fs, rs, theta)
+    loss, grad, theta = step(freqs, ref, theta)
     print(f"iter {it}: loss={float(loss):.6e}")

@@ -480,8 +480,25 @@ class Problem:
             return "modal" if self.material.scalar_loss_factor else "direct"
         return "mixed"
 
-    @functools.cache
+    def _resolve_engine(self) -> str:
+        """Engine getFRCore actually builds: the requested/default engine
+        after the frequency-dependent-material fallback (only the direct
+        engine re-evaluates the material transform per frequency)."""
+        engine = self._engine()
+        if engine != "direct" and self._transform_is_freq_dependent():
+            return "direct"
+        return engine
+
     def getFRCore(self):
+        """Per-instance memo of :meth:`_build_fr_core` (a global
+        ``functools.cache`` would pin every Problem's operator pytree for
+        process lifetime — multi-problem sessions never release it)."""
+        memo = getattr(self, "_fr_core_memo", None)
+        if memo is None:
+            memo = self._fr_core_memo = self._build_fr_core()
+        return memo
+
+    def _build_fr_core(self):
         """(core, opdata): a *pure* jittable ``core(freqs, params, opdata)``
         plus the device-resident operator pytree.
 
@@ -835,6 +852,9 @@ class Problem:
         (reference Problem.py:397-399 evaluates transform(theta, omega) at
         every frequency).  Without known parameters the probe is skipped and
         the transform is assumed independent."""
+        memo = getattr(self, "_freq_dep_memo", None)
+        if memo is not None:
+            return memo
         theta = getattr(self, "parameters", None)
         if theta is None:
             return False
@@ -849,10 +869,11 @@ class Problem:
                 jax.tree_util.tree_map(np.asarray, tr(theta, 0.0)))
             b = jax.tree_util.tree_leaves(
                 jax.tree_util.tree_map(np.asarray, tr(theta, 1234.5)))
-        return not all(
+        self._freq_dep_memo = not all(
             np.allclose(x, y, rtol=1e-12, atol=0.0, equal_nan=True)
             for x, y in zip(a, b)
         )
+        return self._freq_dep_memo
 
     def _reference_stiffness_flat(self) -> np.ndarray:
         """Flat (signed) Re K(theta_ref) data: equilibration scale source and
@@ -885,7 +906,6 @@ class Problem:
             )
         return out
 
-    @functools.cache
     def getFRFunction(self) -> Callable:
         """(freqs, params) -> frequency response, jit-compiled.
 
@@ -895,6 +915,10 @@ class Problem:
         exposes ``.core`` and ``.opdata`` for composition (losses, sharding,
         the driver entry) without re-capturing operator arrays as constants.
         """
+        memo = getattr(self, "_fr_fn_memo", None)
+        if memo is not None:
+            return memo
+
         core, opdata = self.getFRCore()
         jitted = jax.jit(core)
 
@@ -903,13 +927,14 @@ class Problem:
 
         fn.core = core
         fn.opdata = opdata
+        self._fr_fn_memo = fn
         return fn
 
     # ------------------------------------------------------------------
 
     def _check_band(self, freqs) -> None:
         """Warn when the sweep leaves the mixed engine's preconditioned band."""
-        if self._engine() == "mixed":
+        if self._resolve_engine() == "mixed":
             fmax = float(np.max(np.asarray(freqs)))
             if fmax > self.f_max * 1.0001:
                 warnings.warn(

@@ -65,8 +65,9 @@ def jacobi_eigh(A, block: int = 128, max_sweeps: int = 14, tol: float = 0.0):
     npad = nb * block
 
     A = 0.5 * (A + A.T)
-    if tol == 0.0:
-        tol = 20 * jnp.finfo(dt).eps
+    # tol is traced (non-static): resolve the 0.0 -> default sentinel with
+    # jnp.where so explicit tol arguments don't hit a concretization error
+    tol = jnp.where(tol == 0.0, 20 * jnp.finfo(dt).eps, tol)
 
     # Gershgorin bound -> pad eigenvalues strictly above the spectrum
     bound = jnp.max(jnp.sum(jnp.abs(A), axis=1)) + 1.0

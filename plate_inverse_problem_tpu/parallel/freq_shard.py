@@ -83,20 +83,27 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
     the scalar loss reduction and the parameter gradient are psum'd by XLA
     from the sharding annotations (the only cross-chip traffic, matching
     SURVEY §2.4's analysis).  Returns ``step(freqs, ref_fr, params) ->
-    (loss, grad, new_params)``.
+    (loss, grad, new_params)``; pass the *unpadded* frequency/reference
+    arrays — the step pads them to the freq-axis size itself and masks the
+    padding out of the loss and gradient, so every true frequency carries
+    equal weight regardless of the device count.
     """
     core, opdata = problem.getFRCore()
 
-    def loss_fn(params, freqs, ref, od):
+    def loss_fn(params, freqs, ref, n_true, od):
         fr = core(freqs, params, od)
-        return jnp.mean(
+        err = (
             (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2
             if loss_type == "MSE_LOG_AFC"
             else jnp.abs(fr - ref) ** 2
         )
+        # entries past n_true are pad duplicates of the last frequency:
+        # zero their weight so they don't skew the mean
+        live = jnp.arange(err.shape[0]) < n_true
+        return jnp.sum(jnp.where(live, err, 0.0)) / n_true
 
-    def step(freqs, ref, params, od):
-        loss, g = jax.value_and_grad(loss_fn)(params, freqs, ref, od)
+    def step(freqs, ref, n_true, params, od):
+        loss, g = jax.value_and_grad(loss_fn)(params, freqs, ref, n_true, od)
         return loss, g, params - lr * g
 
     repl = NamedSharding(mesh, P())
@@ -104,11 +111,14 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
     od_shardings = jax.tree.map(lambda _: repl, opdata)
     jitted = jax.jit(
         step,
-        in_shardings=(fshard, fshard, repl, od_shardings),
+        in_shardings=(fshard, fshard, repl, repl, od_shardings),
         out_shardings=(repl, repl, repl),
     )
 
     def wrapper(freqs, ref, params):
-        return jitted(freqs, ref, params, opdata)
+        n_true = jnp.asarray(freqs).shape[0]
+        fs = shard_frequencies(mesh, jnp.asarray(freqs))
+        rs = shard_frequencies(mesh, jnp.asarray(ref))
+        return jitted(fs, rs, n_true, params, opdata)
 
     return wrapper

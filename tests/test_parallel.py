@@ -52,10 +52,8 @@ def test_sharded_train_step(problem):
     ref = np.asarray(problem.solveForward(freqs))
     step = sharded_train_step(problem, mesh)
 
-    fs = shard_frequencies(mesh, jnp.asarray(freqs))
-    rs = shard_frequencies(mesh, jnp.asarray(ref))
     theta0 = problem.parameters * jnp.asarray([1.05, 1.05, 1.2])
-    loss, g, theta1 = step(fs, rs, theta0)
+    loss, g, theta1 = step(freqs, ref, theta0)
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert np.all(np.isfinite(np.asarray(g)))
 
@@ -65,12 +63,27 @@ def test_sharded_train_step(problem):
     np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-8)
 
 
+def test_sharded_train_step_padded_count(problem):
+    """A frequency count that is NOT a multiple of the freq axis must give
+    the same loss/grad as the unsharded computation (padding masked out)."""
+    mesh = make_mesh()
+    freqs = np.linspace(40, 400, 13)           # 8 devices -> 3 pad entries
+    ref = np.asarray(problem.solveForward(freqs))
+    step = sharded_train_step(problem, mesh)
+
+    theta0 = problem.parameters * jnp.asarray([1.05, 1.05, 1.2])
+    loss, g, _ = step(freqs, ref, theta0)
+
+    loss_fn = problem.getLossFunction(freqs, ref, "MSE_LOG_AFC")
+    l_ref, g_ref = loss_fn.value_and_grad(theta0)
+    np.testing.assert_allclose(float(loss), float(l_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-8)
+
+
 def test_sharded_train_step_2d_mesh(problem):
     mesh = make_mesh(dof_axis=2)
     freqs = np.linspace(40, 400, 8)
     ref = np.asarray(problem.solveForward(freqs))
     step = sharded_train_step(problem, mesh)
-    fs = shard_frequencies(mesh, jnp.asarray(freqs))
-    rs = shard_frequencies(mesh, jnp.asarray(ref))
-    loss, g, _ = step(fs, rs, problem.parameters * 1.01)
+    loss, g, _ = step(freqs, ref, problem.parameters * 1.01)
     assert np.isfinite(float(loss))

@@ -1,144 +1,177 @@
-"""Experimental-FRF compression (reference jax_plate/Input.py:1-158).
+"""FRF point-budget reduction for faster inverse solves.
 
-Two algorithms with the reference's semantics:
+Dense experimental sweeps carry thousands of frequency points, but the loss
+landscape is dominated by the resonance neighbourhoods.  ``Compressor``
+shrinks a reference FRF to a point budget two ways (selector constants —
+the 75 Hz peak-distance scale, Savitzky-Golay window 30/order 3, width > 20
+samples, prominence > 0.1, roughness gate 50 — follow the reference
+implementation, jax_plate/Input.py:66-158, and are part of the behavioral
+contract):
 
-* alg 0 — uniform subsampling (Input.py:72-82);
-* alg 1 — peak-centric: log-savgol smoothing, peak finding on +-signal,
-  filtering by width/prominence/smoothness, then growing symmetric windows
-  around surviving peaks until the point budget is met (Input.py:84-156).
+* ``use_alg=0`` — even thinning of the frequency grid;
+* ``use_alg=1`` — resonance-centric: detect ridges of the smoothed
+  log-magnitude curve (both peaks and anti-resonance valleys), reject
+  narrow/low-prominence/noisy candidates, then allocate the point budget as
+  symmetric windows around the survivors, widened sweep-by-sweep until the
+  budget is spent or neighbouring windows meet.
+
+Beyond the reference: a clamped log floor keeps deep anti-resonances from
+producing NaNs (Input.py:91 warns instead), and a ridge-free signal falls
+back to even thinning rather than dividing by zero (Input.py:103).
 """
 from __future__ import annotations
 
 import numpy as np
-from scipy.signal import find_peaks, savgol_filter, peak_widths, peak_prominences
+from scipy.signal import find_peaks, peak_prominences, peak_widths, savgol_filter
+
+
+def _even_thinning_mask(n: int, budget: int) -> np.ndarray:
+    """Mark ~``budget`` indices on a stride-accumulated grid.
+
+    Selects ``int(k * stride)`` for k = 0, 1, ... (so the first and last
+    regions are always represented) and drops index 0 if rounding lands one
+    point over budget.  (The reference accumulates the stride by repeated
+    float addition, Input.py:74-78; the direct product differs from that by
+    at most one index position as the accumulated rounding drifts.)"""
+    stride = n / budget
+    hops = np.arange(int(np.ceil(n / stride)) + 1) * stride
+    picks = np.unique(hops[hops < n].astype(np.int64))
+    mask = np.zeros(n, dtype=bool)
+    mask[picks] = True
+    if picks.size > budget:
+        mask[0] = False
+    return mask
+
+
+def _ridge_candidates(curve: np.ndarray, min_gap: int) -> np.ndarray:
+    """Indices of significant ridges of ``curve``: local maxima at least
+    ``min_gap`` samples apart, wider than 20 samples, more prominent than
+    0.1, and locally smooth (roughness gate below 50)."""
+    locs, _ = find_peaks(curve, distance=min_gap)
+    locs = locs[peak_widths(curve, locs)[0] > 20]
+    locs = locs[peak_prominences(curve, locs)[0] > 0.1]
+    return locs[_noise_score(curve, locs) < 50]
+
+
+def _noise_score(curve: np.ndarray, locs: np.ndarray) -> np.ndarray:
+    """Reciprocal mean absolute slope around each location.
+
+    A genuine resonance rides a steep flank (large |d curve|, small score);
+    measurement noise spikes sit on locally flat signal (small |d curve|,
+    large score).  Window: up to 10 samples each side, shrunk near the
+    array ends."""
+    scores = np.empty(locs.size)
+    n = curve.size
+    for k, loc in enumerate(locs):
+        edge = min(loc, n - loc)
+        half = 10 if edge > 10 else edge - 1
+        if half < 1:
+            scores[k] = np.nan  # window collapsed at the array edge: reject
+            continue
+        wiggle = np.abs(np.diff(curve[loc - half: loc + half + 1])).sum()
+        scores[k] = half / (10 * wiggle) if wiggle > 0 else np.inf
+    return scores
+
+
+def _widen_until_spent(lo: np.ndarray, hi: np.ndarray, n: int,
+                       remaining: int, mask: np.ndarray) -> None:
+    """Distribute ``remaining`` points by widening the ridge windows.
+
+    Sweep policy (in place): each sweep first extends every window whose
+    right edge has not met its right neighbour by one sample (left to
+    right), then pushes the overall right boundary outward, falling back to
+    the left boundary when the right end of the grid is exhausted.  Stops
+    when the budget is spent or every window is wedged."""
+    while remaining > 0:
+        open_gaps = np.flatnonzero(hi[:-1] + 1 < lo[1:])[:remaining]
+        hi[open_gaps] += 1
+        mask[hi[open_gaps]] = True
+        remaining -= open_gaps.size
+        if remaining <= 0:
+            return
+        widened = open_gaps.size
+        if hi[-1] + 1 < n:
+            hi[-1] += 1
+            mask[hi[-1]] = True
+            remaining -= 1
+            widened += 1
+        elif lo[0] > 1:
+            lo[0] -= 1
+            mask[lo[0]] = True
+            remaining -= 1
+            widened += 1
+        if widened == 0:
+            return
 
 
 class Compressor:
-    """Callable FRF compressor.
+    """Reduce ``(freqs, complex_fr)`` to at most ``desired_size`` points.
 
-    Parameters
-    ----------
-    freqs, complex_fr : np.ndarray
-        Frequency grid and complex amplitudes of the reference FRF.
-    max_size : int
-        Maximal array size usable in optimisation.
-    use_alg : int
-        0 — uniform; 1 — peak-centric.
+    Construct with the full reference sweep, then call with the target
+    count; returns the selected ``(freqs, complex_fr)`` subset.  ``max_size``
+    caps the allowed target, ``use_alg`` picks the selector (0 even,
+    1 resonance-centric).
     """
 
     def __init__(self, freqs: np.ndarray, complex_fr: np.ndarray,
                  max_size: int, use_alg: int):
-        assert freqs.size == complex_fr.size
-        self.size = freqs.size
-        self.freqs = freqs
-        self.complex_fr = complex_fr
+        if freqs.size != complex_fr.size:
+            raise ValueError(
+                f"frequency grid ({freqs.size}) and FRF ({complex_fr.size}) "
+                "lengths differ"
+            )
+        self.freqs = np.asarray(freqs)
+        self.complex_fr = np.asarray(complex_fr)
         self.max_size = max_size
         self.alg = use_alg
 
-    @staticmethod
-    def _peak_smoothness(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
-        """Inverse mean |diff| over the 20 nearest neighbours of each peak
-        (reference Input.py:38-64)."""
-        res = np.zeros_like(peaks, dtype=np.float64)
-        for i, p in enumerate(peaks):
-            bds = 10
-            if p <= 10 or x.size - p <= 10:
-                bds = min(p, x.size - p) - 1
-            interval = x[p - bds : p + bds + 1]
-            res[i] = np.sum(np.abs(np.diff(interval))) / 2 / bds * 20
-        return 1 / res
+    def _log_magnitude(self) -> np.ndarray:
+        """Smoothed log|FRF|, floored so Savitzky-Golay undershoot near deep
+        anti-resonances cannot reach log(<=0)."""
+        mag = np.abs(self.complex_fr)
+        fitted = savgol_filter(mag, min(30, mag.size - 1), 3)
+        return np.log(np.maximum(fitted, max(mag.min() * 1e-3, 1e-300)))
+
+
+    def _resonance_mask(self, budget: int) -> np.ndarray | None:
+        n = self.freqs.size
+        # minimum ridge separation: ~75 Hz expressed in grid samples
+        min_gap = max(int(75 / np.max(np.diff(self.freqs))), 1)
+        envelope = self._log_magnitude()
+
+        # ridges of the curve and of its negation: resonances AND
+        # anti-resonances both constrain the identified moduli
+        ridges = np.sort(np.concatenate([
+            _ridge_candidates(envelope, min_gap),
+            _ridge_candidates(-envelope, min_gap),
+        ]))
+        if ridges.size == 0:
+            return None
+
+        half_width = max((budget - ridges.size) // (2 * ridges.size), 0)
+        lo = np.maximum(ridges - half_width, 0)
+        hi = np.where(ridges + half_width >= n, n - 1, ridges + half_width)
+
+        mask = np.zeros(n, dtype=bool)
+        for a, b in zip(lo, hi):
+            mask[a: b + 1] = True
+        _widen_until_spent(lo, hi, n, budget - int(mask.sum()), mask)
+        return mask
 
     def __call__(self, desired_size: int) -> tuple[np.ndarray, np.ndarray]:
         if desired_size > self.max_size:
             raise ValueError(
-                f"Desired size of compressed data must be lower than {self.max_size + 1}"
+                f"Desired size of compressed data must be lower than "
+                f"{self.max_size + 1}"
             )
 
-        bool_mask = np.zeros(self.size, dtype=bool)
-
         if self.alg == 0:
-            step = self.size / desired_size
-            current = 0.0
-            while current < self.size:
-                bool_mask[int(current)] = True
-                current += step
-            if np.sum(bool_mask) > desired_size:
-                bool_mask[0] = False
-
+            mask = _even_thinning_mask(self.freqs.size, desired_size)
         elif self.alg == 1:
-            freq_step = np.max(np.diff(self.freqs))
-            dst = max(int(75 / freq_step), 1)  # peak width ~75 Hz (Input.py:87)
-
-            idx = []
-            window = min(30, self.size - 1)
-            smooth = savgol_filter(np.abs(self.complex_fr), window, 3)
-            # savgol can overshoot below zero near deep anti-resonances;
-            # clamp before the log (the reference warns/NaNs here, Input.py:91)
-            floor = max(np.abs(self.complex_fr).min() * 1e-3, 1e-300)
-            tmp_afc = np.log(np.maximum(smooth, floor))
-
-            for afc in (tmp_afc, -tmp_afc):
-                all_peaks = find_peaks(afc, distance=dst)
-
-                ws = peak_widths(afc, all_peaks[0])
-                width_filtered = all_peaks[0][ws[0] > 20]
-
-                pr = peak_prominences(afc, width_filtered)
-                prom_filtered = width_filtered[pr[0] > 0.1]
-
-                ps = self._peak_smoothness(afc, prom_filtered)
-                idx.append(prom_filtered[ps < 50])
-
-            idx = np.concatenate(idx)
-            idx.sort()
-            npeaks = idx.size
-
-            if npeaks == 0:
-                # degenerate signal: fall back to uniform subsampling
-                return Compressor(self.freqs, self.complex_fr, self.max_size, 0)(
-                    desired_size
-                )
-
-            pts = desired_size - npeaks
-            layers = pts // (npeaks * 2)
-
-            left_idx = idx - layers
-            right_idx = idx + layers
-            left_idx[left_idx < 0] = 0
-            right_idx[right_idx + 1 > self.size] = self.size - 1
-
-            for i in range(npeaks):
-                bool_mask[left_idx[i] : right_idx[i] + 1] = True
-
-            diff = desired_size - np.sum(bool_mask)
-
-            while diff > 0:  # grow windows until budget met or they collide
-                grew = False
-                for i in range(npeaks - 1):
-                    if right_idx[i] + 1 < left_idx[i + 1]:
-                        right_idx[i] += 1
-                        diff -= 1
-                        grew = True
-                        bool_mask[right_idx[i]] = True
-                    if diff == 0:
-                        break
-                if diff == 0:
-                    break
-
-                if right_idx[-1] + 1 < self.size:
-                    right_idx[-1] += 1
-                    diff -= 1
-                    grew = True
-                    bool_mask[right_idx[-1]] = True
-                elif left_idx[0] - 1 > 0:
-                    left_idx[0] -= 1
-                    diff -= 1
-                    grew = True
-                    bool_mask[left_idx[0]] = True
-
-                if not grew:
-                    break
+            mask = self._resonance_mask(desired_size)
+            if mask is None:  # ridge-free signal: fall back to even thinning
+                mask = _even_thinning_mask(self.freqs.size, desired_size)
         else:
             raise NotImplementedError(f"Compression algorithm {self.alg}.")
 
-        return self.freqs[bool_mask], self.complex_fr[bool_mask]
+        return self.freqs[mask], self.complex_fr[mask]

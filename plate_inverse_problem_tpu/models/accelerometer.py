@@ -1,35 +1,34 @@
-"""Accelerometer sensor model (reference jax_plate/Accelerometer.py:1-115).
+"""Accelerometer sensor catalog.
 
-JSON-backed catalog in ``accelerometers/``; the AP1030 sensor ships with the
-package (mass 1.7 g, r 3.8 mm, h 8.7 mm, effective height 0.5, transverse
-sensitivity 0.03 — reference accelerometers/AP1030.json).
+The sensor enters the physics twice: its mass/rotary inertia load the plate
+through the indicator-weighted mass corrections (fem/assembly.py), and its
+``effective_height``/``transverse_sensitivity`` shape the measured response
+mix (models/problem.py 3-field readout).  Field names and the JSON schema
+match the reference so existing catalog files load unchanged
+(jax_plate/Accelerometer.py:7-33, accelerometers/*.json); the bundled
+AP1030 entry is the sensor every reference example uses.
 """
 from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 
 from ..utils.paths import get_package_dir
 
 
+def _catalog_path(name: str) -> str:
+    return os.path.join(get_package_dir(), "accelerometers", name + ".json")
+
+
 @dataclass
 class AccelerometerParams:
-    """Parameters of an accelerometer.
+    """Physical description of a cylindrical accelerometer.
 
-    Attributes
-    ----------
-    mass : float
-        Mass in kg.
-    radius : float
-        Radius of the cylindrical accelerometer in meters.
-    height : float
-        Height of the cylinder in meters.
-    effective_height : float
-        Relative position (0..1) along the cylinder axis where the response is
-        measured; 0 = bottom, 1 = top.
-    transverse_sensitivity : float
-        Relative transverse sensitivity (a real number, not percent).
+    ``mass`` [kg] and ``radius`` [m] drive the added-inertia corrections;
+    ``height`` [m] with ``effective_height`` (relative 0..1 along the axis,
+    bottom to top) locates the sensing element; ``transverse_sensitivity``
+    is the relative in-plane pickup (fraction, not percent).
     """
 
     mass: float
@@ -40,43 +39,44 @@ class AccelerometerParams:
 
 
 class Accelerometer:
-    """Accelerometer with JSON file interface (reference Accelerometer.py:36-115)."""
+    """A sensor loaded from the catalog by name, or built from params.
+
+    ``Accelerometer("AP1030")`` reads ``accelerometers/AP1030.json`` from
+    the package; ``Accelerometer(AccelerometerParams(...))`` wraps explicit
+    values.  The five schema fields become instance attributes.
+    """
 
     def __init__(self, name_or_params: str | AccelerometerParams):
-        if isinstance(name_or_params, str):
-            fpath = os.path.join(
-                get_package_dir(), "accelerometers", name_or_params + ".json"
-            )
-            if os.path.exists(fpath):
-                with open(fpath, "r") as file:
-                    params = json.load(file)
-            else:
+        if isinstance(name_or_params, AccelerometerParams):
+            fields = asdict(name_or_params)
+        elif isinstance(name_or_params, str):
+            path = _catalog_path(name_or_params)
+            if not os.path.exists(path):
                 raise ValueError(
-                    f"Could not find file {name_or_params}.json in "
-                    "`accelerometers` folder."
+                    f"No accelerometer named {name_or_params!r} in the "
+                    f"catalog (expected {path})."
                 )
-        elif isinstance(name_or_params, AccelerometerParams):
-            params = name_or_params.__dict__
+            with open(path) as fh:
+                fields = json.load(fh)
         else:
             raise TypeError(
-                "Argument `name_or_params` should have type `str` or "
-                "`AccelerometerParams`."
+                f"Expected a catalog name (str) or AccelerometerParams, got "
+                f"{type(name_or_params).__name__}."
             )
 
-        self.mass = params["mass"]
-        self.radius = params["radius"]
-        self.height = params["height"]
-        self.effective_height = params["effective_height"]
-        self.transverse_sensitivity = params["transverse_sensitivity"]
+        for key in ("mass", "radius", "height", "effective_height",
+                    "transverse_sensitivity"):
+            setattr(self, key, fields[key])
 
     @staticmethod
-    def create_accelerometer(params: AccelerometerParams, accelerometer_name: str) -> None:
-        """Write ``accelerometers/<name>.json`` (reference Accelerometer.py:84-112)."""
-        folder = os.path.join(get_package_dir(), "accelerometers")
-        os.makedirs(folder, exist_ok=True)
-        fpath = os.path.join(folder, accelerometer_name + ".json")
-        with open(fpath, "w") as file:
-            json.dump(params.__dict__, file, indent=4)
+    def create_accelerometer(params: AccelerometerParams,
+                             accelerometer_name: str) -> None:
+        """Add (or overwrite) a named catalog entry under the package's
+        ``accelerometers/`` folder."""
+        path = _catalog_path(accelerometer_name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(asdict(params), fh, indent=4)
 
     def __str__(self):
         return f"Accelerometer with {self.__dict__}."

@@ -238,7 +238,9 @@ class Problem:
         n_refine: int = 12,             # mixed-engine refinement cap (adaptive)
         precond: str = "dense",         # mixed-engine complement precond:
                                         # 'dense' (f32 inverse, <=20k DOF) or
-                                        # 'mg' (O(nnz) two-level cycle)
+                                        # 'mg' (O(nnz) multilevel V-cycle)
+        mg_coarse_max: int = 3000,      # mg: coarsen until n_free <= this,
+                                        # then invert the coarsest densely
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -254,6 +256,7 @@ class Problem:
                 f"Unknown precond {precond!r}; valid options: 'dense', 'mg'."
             )
         self.precond = precond
+        self.mg_coarse_max = int(mg_coarse_max)
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -685,16 +688,12 @@ class Problem:
         def _mg_kwargs(od):
             # reads _mg_static at trace time (set further down in this
             # method, before the cores are ever traced)
-            if "mg_jac" not in od:
+            if "mg_arrays" not in od:
                 return {}
-            mg_static = self._mg_static
-            mg = {
-                "jac": od["mg_jac"], "dinv": od["mg_dinv"],
-                "Kc_inv32": od["mg_Kc_inv32"], "P_rows": od["mg_P_rows"],
-                "P_cols": od["mg_P_cols"], "P_vals": od["mg_P_vals"],
-                "lmax": mg_static["lmax"], "nc": mg_static["nc"],
+            return {
+                "mg": {"arrays": od["mg_arrays"], "static": self._mg_static},
+                "K_ref64": od["Kref64"],
             }
-            return {"mg": mg, "K_ref64": od["Kref64"]}
 
         K_ref_eq = K_ref * ss
         M_eq = self.MInertia * ss
@@ -713,35 +712,53 @@ class Problem:
         }
 
         if self.precond == "mg":
-            # O(nnz) two-level complement preconditioner (100k-DOF path):
-            # coarse Galerkin correction through an FE-basis prolongation,
+            # O(nnz) multilevel complement preconditioner (100k-DOF path):
+            # recursive Galerkin correction through FE-basis prolongations,
             # scale-consistent with the equilibration (ops/mg.py)
-            from ..ops.mg import build_prolongation, build_two_level_host
+            from ..ops.mg import build_prolongation, build_multilevel_host
 
-            coarse = Problem(
-                self.geometry.coarsened(2.0), self.material,
-                self.accelerometer, engine="direct",
-            )
-            P = build_prolongation(
-                self.mesh, coarse.mesh, op.free_idx, coarse.op.free_idx,
-                op.constrained, coarse.op.constrained,
-                three_field=not self.is_symmetric_path,
-            )
-            mg_host = build_two_level_host(
-                K_ref_eq, op.pattern.rows, op.pattern.cols, n, P,
+            three_field = not self.is_symmetric_path
+            chain = []
+            fine = self
+            factor = 2.0
+            # always at least one coarse level; recurse until the coarsest
+            # is small enough to invert densely
+            while ((not chain or fine.n_free > self.mg_coarse_max)
+                   and len(chain) < 8):
+                cp = Problem(
+                    self.geometry.coarsened(factor), self.material,
+                    self.accelerometer, engine="direct",
+                )
+                if cp.n_free >= fine.n_free or cp.n_free < 60:
+                    break
+                chain.append(cp)
+                fine = cp
+                factor *= 2.0
+            if not chain:
+                raise ValueError(
+                    "precond='mg' could not build a coarser mesh level for "
+                    f"this geometry (n_free={n}); use precond='dense'."
+                )
+
+            Ps = []
+            fine = self
+            for cp in chain:
+                Ps.append(build_prolongation(
+                    fine.mesh, cp.mesh, fine.op.free_idx, cp.op.free_idx,
+                    fine.op.constrained, cp.op.constrained,
+                    three_field=three_field,
+                ))
+                fine = cp
+            mg_arrays, mg_static = build_multilevel_host(
+                K_ref_eq, op.pattern.rows, op.pattern.cols, n, Ps,
                 row_scale=scale_vec,
             )
             base |= {
                 "invK32": jnp.zeros((1, 1), jnp.float32),  # unused dummy
                 "Kref64": jnp.asarray(K_ref_eq, jnp.float64),
-                "mg_jac": jnp.asarray(mg_host["jac"], jnp.float64),
-                "mg_dinv": jnp.asarray(mg_host["dinv"], jnp.float64),
-                "mg_Kc_inv32": jnp.asarray(mg_host["Kc_inv32"], jnp.float32),
-                "mg_P_rows": jnp.asarray(mg_host["P_rows"]),
-                "mg_P_cols": jnp.asarray(mg_host["P_cols"]),
-                "mg_P_vals": jnp.asarray(mg_host["P_vals"], jnp.float64),
+                "mg_arrays": jax.tree_util.tree_map(jnp.asarray, mg_arrays),
             }
-            self._mg_static = {"lmax": mg_host["lmax"], "nc": mg_host["nc"]}
+            self._mg_static = mg_static
         else:
             invK32 = static_preconditioner_host(
                 K_ref_eq, op.pattern.rows, op.pattern.cols, n

@@ -1,22 +1,26 @@
-"""Two-level (geometric) preconditioner — groundwork for the 100k-DOF tier.
+"""Multilevel (geometric) preconditioner — the 100k-DOF complement solver.
 
 The mixed engine's static preconditioner is a dense f32 inverse (O(n^2)
 memory / O(n^3) host build — fine to ~20k DOF).  This module builds the
-O(nnz) replacement: a two-level cycle
+O(nnz) replacement: a V-cycle
 
-    C(r) = S(r) + P Kc^{-1} P^T (r - K S(r)) ,  S = damped-Jacobi smoothing
+    C(r) = S(r) + P C_coarse(P^T (r - K S(r))) ,  S = Chebyshev smoothing
 
-with a *geometric* prolongation P evaluated through the actual FE bases
+with *geometric* prolongations P evaluated through the actual FE bases
 (P1 for the membrane fields, Morley values/normal-derivatives for bending) —
-the same interpolation machinery that builds the readout operators.  The
-coarse operator is Galerkin (P^T K P, host scipy), solved by a small dense
-inverse.
+the same interpolation machinery that builds the readout operators.  Coarse
+operators are Galerkin (P^T K P, host scipy); the coarsest level is a small
+dense inverse.
 
-Status: validated numerically (tests/test_mg.py measures the contraction
-rate on the real equilibrated plate operator); not yet the default — the
-dense inverse is faster below ~20k DOF.  On-device application is all
-flat-pattern SpMV + one small GEMM, so it inherits the mixed engine's
+The whole cycle runs in f32 on device: it is only a *preconditioner* —
+the surrounding deflated-Richardson iteration (ops/mixed.py) computes its
+residuals in exact split-complex f64, so preconditioner roundoff costs
+iterations, never accuracy.  On-device application is all flat-pattern
+SpMV + one small GEMM, so it inherits the mixed engine's
 compile-friendliness.
+
+Contraction measured on the real equilibrated plate operator:
+~0.29 two-grid, ~0.3-0.4 multilevel (tests/test_mg.py).
 """
 from __future__ import annotations
 
@@ -96,35 +100,12 @@ def build_prolongation(fine_mesh, coarse_mesh, fine_free_idx, coarse_free_idx,
     return P_full[fine_free_idx][:, coarse_free_idx].tocsr()
 
 
-def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
-                         jacobi_weight: float = 0.6, row_scale=None):
-    """Host-side data for the two-level cycle on an equilibrated SPD K.
-
-    ``row_scale``: the fine-grid equilibration vector s (K here is S K_phys
-    S).  The geometric prolongation is built in PHYSICAL DOF space, so it
-    must be mapped into scaled variables, P~ = S^-1 P — without this the
-    coarse correction cannot represent the scaled smooth error and the cycle
-    stalls near rate ~0.95; with it the measured rate is ~0.29
-    (tests/test_mg.py).
-
-    Returns a dict of numpy arrays: inverse diagonal, the Chebyshev
-    smoothing interval (lambda_max of D^-1 K from power iteration), the
-    Galerkin coarse dense inverse, and the prolongation in flat-COO form
-    for on-device SpMV.
-    """
-    import scipy.sparse as sp
-
-    if row_scale is not None:
-        P_csr = (sp.diags(1.0 / np.asarray(row_scale)) @ P_csr).tocsr()
-
-    K = sp.csc_matrix((K_flat, (rows, cols)), shape=(n, n))
-    K = 0.5 * (K + K.T)
-
+def _dinv_lmax(K):
+    """Inverse diagonal and lambda_max(D^-1 K) (host power iteration)."""
+    n = K.shape[0]
     d = np.asarray(K.diagonal())
     d = np.where(np.abs(d) > 0, d, 1.0)
     dinv = 1.0 / d
-
-    # lambda_max(D^-1 K) by power iteration (host, one-time)
     rng = np.random.default_rng(0)
     v = rng.standard_normal(n)
     lmax = 1.0
@@ -132,33 +113,83 @@ def build_two_level_host(K_flat, rows, cols, n: int, P_csr,
         w = dinv * (K @ v)
         lmax = np.linalg.norm(w)
         v = w / lmax
-    lmax *= 1.05  # safety margin
+    return dinv, float(lmax * 1.05)  # safety margin
 
-    Kc = (P_csr.T @ (K @ P_csr)).toarray()
-    Kc = 0.5 * (Kc + Kc.T)
-    # A coarse DOF whose P column is empty (e.g. a sliver coarse triangle
-    # near a curved hole that contains no fine sample point) makes Kc
-    # singular.  Such a coordinate receives zero restricted residual and
-    # feeds nothing back through P, so pinning its diagonal to 1 is exact —
-    # the coarse correction is unchanged.
+
+def _pin_dead(Kc, P_csr):
+    """Pin coarse DOFs whose P column is empty (e.g. a sliver coarse
+    triangle near a curved hole that contains no fine sample point) — they
+    receive zero restricted residual and feed nothing back through P, so a
+    unit diagonal is exact and keeps Kc nonsingular."""
+    import scipy.sparse as sp
+
     dead = np.asarray(P_csr.multiply(P_csr).sum(axis=0)).ravel() == 0.0
     if dead.any():
-        Kc[dead, :] = 0.0
-        Kc[:, dead] = 0.0
-        Kc[dead, dead] = 1.0
-    Kc_inv = np.linalg.inv(Kc)
+        keep = sp.diags((~dead).astype(Kc.dtype))
+        Kc = keep @ Kc @ keep + sp.diags(dead.astype(Kc.dtype))
+    return Kc
 
-    Pcoo = P_csr.tocoo()
-    return {
-        "jac": jacobi_weight * dinv,
-        "dinv": dinv,
-        "lmax": float(lmax),
-        "Kc_inv32": Kc_inv.astype(np.float32),
-        "P_rows": Pcoo.row.astype(np.int32),
-        "P_cols": Pcoo.col.astype(np.int32),
-        "P_vals": Pcoo.data,
-        "nc": P_csr.shape[1],
-    }
+
+def build_multilevel_host(K_flat, rows, cols, n: int, P_csr_list,
+                          row_scale=None):
+    """Host-side data for the multilevel V-cycle on an equilibrated SPD K.
+
+    ``P_csr_list``: geometric prolongations finest-first — entry ``l`` maps
+    level ``l+1`` DOFs to level ``l`` DOFs (level 0 = the fine operator).
+    ``row_scale``: the fine-grid equilibration vector s (K here is
+    S K_phys S).  The prolongations are built in PHYSICAL DOF space, so the
+    finest one must be mapped into scaled variables, P~ = S^-1 P — without
+    this the coarse correction cannot represent the scaled smooth error and
+    the cycle stalls near rate ~0.95; with it the measured rate is ~0.29
+    (tests/test_mg.py).  Coarser levels keep physical variables throughout
+    (the Chebyshev smoother normalizes through D^-1, so no per-level
+    re-equilibration is needed).
+
+    Returns ``(arrays, static)``: ``arrays`` is a pytree of numpy arrays
+    (per-level inverse diagonals, flat coarse operators, flat prolongations,
+    coarsest dense inverse) meant to travel as jit *arguments*; ``static``
+    holds the Python-scalar metadata (per-level lambda_max, DOF counts) to
+    be baked in at trace time.  Everything is f32 — the cycle is a
+    preconditioner (see module docstring).
+    """
+    import scipy.sparse as sp
+
+    K = sp.csc_matrix((K_flat, (rows, cols)), shape=(n, n))
+    K = 0.5 * (K + K.T)
+
+    levels = []
+    lmaxs = []
+    ns = [n]
+    for li, P in enumerate(P_csr_list):
+        if li == 0 and row_scale is not None:
+            P = (sp.diags(1.0 / np.asarray(row_scale)) @ P).tocsr()
+        dinv, lmax = _dinv_lmax(K)
+        lv = {"dinv": dinv.astype(np.float32)}
+        if li > 0:
+            Kcoo = K.tocoo()
+            lv |= {
+                "Kf": Kcoo.data.astype(np.float32),
+                "rows": Kcoo.row.astype(np.int32),
+                "cols": Kcoo.col.astype(np.int32),
+            }
+        Pcoo = P.tocoo()
+        lv |= {
+            "P_rows": Pcoo.row.astype(np.int32),
+            "P_cols": Pcoo.col.astype(np.int32),
+            "P_vals": Pcoo.data.astype(np.float32),
+        }
+        levels.append(lv)
+        lmaxs.append(lmax)
+        ns.append(P.shape[1])
+
+        K = _pin_dead((P.T @ (K @ P)).tocsc(), P)
+        K = 0.5 * (K + K.T)
+
+    Kc_inv = np.linalg.inv(K.toarray())
+    arrays = {"levels": tuple(levels),
+              "Kc_inv32": Kc_inv.astype(np.float32)}
+    static = {"lmax": tuple(lmaxs), "n": tuple(ns)}
+    return arrays, static
 
 
 def _chebyshev_smooth(mg, K_mv, r, e0=None, steps: int = 3,
@@ -186,28 +217,54 @@ def _chebyshev_smooth(mg, K_mv, r, e0=None, steps: int = 3,
     return e + p
 
 
-def two_level_apply(mg, K_flat, rows, cols, n: int, r, smooth_steps: int = 3):
-    """One symmetric two-level cycle: Chebyshev pre-smooth, coarse
-    correction, Chebyshev post-smooth.  Pure flat-pattern ops + one small
-    GEMM — device friendly, O(nnz) memory.  ``r`` may be batched (..., n)."""
-    Pr, Pc, Pv = mg["P_rows"], mg["P_cols"], mg["P_vals"]
-    nc = mg["nc"]
+def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
+                     smooth_steps: int = 3, w_cycle: bool = True):
+    """One symmetric multigrid cycle: Chebyshev pre-smooth, recursive coarse
+    correction, Chebyshev post-smooth at every level.  Pure flat-pattern
+    ops + one small GEMM at the coarsest level — device friendly, O(nnz)
+    memory.  ``r`` may be batched (..., n); compute is f32 throughout (the
+    fine operator ``K0_flat`` arrives as a runtime argument and is cast
+    once).  Returns the correction in ``r``'s dtype.
 
-    def K_mv(x):
-        return spmv_flat(K_flat, rows, cols, x, n)
+    ``w_cycle=True`` applies TWO recursive corrections per coarse visit
+    (a W-cycle): on the 2D plate hierarchy the coarse work shrinks ~4x per
+    level, so the extra visits cost ~25% while holding the multilevel rate
+    near the two-grid rate (measured: 0.49 V vs ~0.3 W at three levels).
+    """
+    levels = arrays["levels"]
+    lmaxs = static["lmax"]
+    ns = static["n"]
+    in_dtype = r.dtype
+    K032 = K0_flat.astype(jnp.float32)
 
-    def restrict(x):   # P^T x
-        return spmv_flat(Pv, Pc, Pr, x, nc)
+    def level_mv(l):
+        if l == 0:
+            Kf, rws, cls = K032, rows0, cols0
+        else:
+            lv = levels[l]
+            Kf, rws, cls = lv["Kf"], lv["rows"], lv["cols"]
+        return lambda x: spmv_flat(Kf, rws, cls, x, ns[l])
 
-    def prolong(x):    # P x
-        return spmv_flat(Pv, Pr, Pc, x, n)
+    def coarse_correct(l, rc):
+        """Approximately solve K_l e = rc by one (or two) recursive
+        cycles; level len(levels) is the exact dense inverse."""
+        ec = cycle(l, rc)
+        if w_cycle and l < len(levels):
+            ec = ec + cycle(l, rc - level_mv(l)(ec))
+        return ec
 
-    # pre-smooth
-    e = _chebyshev_smooth(mg, K_mv, r, steps=smooth_steps)
-    res = r - K_mv(e)
-    # coarse correction
-    rc = restrict(res)
-    ec = jnp.einsum("ij,...j->...i", mg["Kc_inv32"], rc.astype(jnp.float32))
-    e = e + prolong(ec.astype(r.dtype))
-    # post-smooth
-    return _chebyshev_smooth(mg, K_mv, r, e0=e, steps=smooth_steps)
+    def cycle(l, rl):
+        if l == len(levels):
+            return jnp.einsum("ij,...j->...i", arrays["Kc_inv32"], rl)
+        lv = levels[l]
+        K_mv = level_mv(l)
+        sm = {"dinv": lv["dinv"], "lmax": lmaxs[l]}
+        e = _chebyshev_smooth(sm, K_mv, rl, steps=smooth_steps)
+        res = rl - K_mv(e)
+        rc = spmv_flat(lv["P_vals"], lv["P_cols"], lv["P_rows"], res,
+                       ns[l + 1])
+        e = e + spmv_flat(lv["P_vals"], lv["P_rows"], lv["P_cols"],
+                          coarse_correct(l + 1, rc), ns[l])
+        return _chebyshev_smooth(sm, K_mv, rl, e0=e, steps=smooth_steps)
+
+    return cycle(0, r.astype(jnp.float32)).astype(in_dtype)

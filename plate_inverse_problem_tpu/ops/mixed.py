@@ -151,9 +151,10 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     differentiated, so reverse-mode AD is unaffected.
 
     Complement preconditioner: the dense f32 inverse ``invK32`` by default;
-    pass ``mg`` (the dict from ``ops.mg.build_two_level_host``, as jnp
-    arrays) plus ``K_ref64`` (static equilibrated reference stiffness, flat
-    f64) to use the O(nnz) two-level cycle instead (the 100k-DOF path —
+    pass ``mg = {"arrays": ..., "static": ...}`` (from
+    ``ops.mg.build_multilevel_host``; arrays as jnp, static as Python
+    scalars) plus ``K_ref64`` (static equilibrated reference stiffness, flat
+    f64) to use the O(nnz) multilevel V-cycle instead (the 100k-DOF path —
     ``invK32`` may then be a (1, 1) dummy).
 
     Returns (U_re, U_im) f64 — validated at ~3e-8 relative against f64
@@ -191,10 +192,11 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     MZ64 = _spmv64(Ms64, rows, cols, Zw64.T, n).T      # (n, m) M-weighted
 
     if mg is not None:
-        from .mg import two_level_apply
+        from .mg import multilevel_apply
 
         def precond(x64):
-            return two_level_apply(mg, K_ref64, rows, cols, n, x64)
+            return multilevel_apply(mg["arrays"], mg["static"], K_ref64,
+                                    rows, cols, x64)
     else:
         def precond(x64):
             return (invK32 @ x64.astype(jnp.float32)).astype(jnp.float64)

@@ -241,6 +241,9 @@ class Problem:
                                         # 'mg' (O(nnz) multilevel V-cycle)
         mg_coarse_max: int = 3000,      # mg: coarsen until n_free <= this,
                                         # then invert the coarsest densely
+        freq_chunk: int | None = None,  # mixed engine: solve the sweep in
+                                        # frequency chunks of this size
+                                        # (None = auto from the pattern size)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -257,6 +260,7 @@ class Problem:
             )
         self.precond = precond
         self.mg_coarse_max = int(mg_coarse_max)
+        self.freq_chunk = freq_chunk
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -685,6 +689,16 @@ class Problem:
         n = op.n_free
         h = self.geometry.height
         n_refine = self.n_refine
+
+        # Frequency chunking bounds the (F, nnz) SpMV intermediates of the
+        # sweep (and keeps the AOT jacfwd compile tractable at >12k DOF).
+        # Auto policy: ~4 GB of live f64 contributions assuming a few
+        # buffers in flight; no chunking for small patterns.
+        freq_chunk = self.freq_chunk
+        if freq_chunk is None and op.pattern.nnz > 300_000:
+            freq_chunk = int(max(
+                8, 2 ** np.floor(np.log2(4e9 / (32.0 * op.pattern.nnz)))))
+
         def _mg_kwargs(od):
             # reads _mg_static at trace time (set further down in this
             # method, before the cores are ever traced)
@@ -790,7 +804,8 @@ class Problem:
                 U_re, U_im = mixed_sweep(
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                    n_refine=n_refine, **_mg_kwargs(od),
+                    n_refine=n_refine, freq_chunk=freq_chunk,
+                    **_mg_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -848,7 +863,8 @@ class Problem:
             U_re, U_im = mixed_sweep(
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                n_refine=n_refine, **_mg_kwargs(od),
+                n_refine=n_refine, freq_chunk=freq_chunk,
+                **_mg_kwargs(od),
             )
 
             def mag2(rvec, r0):

@@ -135,7 +135,7 @@ def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
 
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 8, refine_tol: float = 3e-7,
-                mg=None, K_ref64=None):
+                mg=None, K_ref64=None, freq_chunk: int | None = None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -277,7 +277,19 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             solve=make_solver(1.0), transpose_solve=make_solver(-1.0),
         )
 
-    U_re, U_im = jax.vmap(one)(omegas.astype(jnp.float64),
-                               B_re.astype(jnp.float64),
-                               B_im.astype(jnp.float64))
-    return U_re, U_im
+    om64 = omegas.astype(jnp.float64)
+    Br64 = B_re.astype(jnp.float64)
+    Bi64 = B_im.astype(jnp.float64)
+    if freq_chunk is None or freq_chunk >= om64.shape[0]:
+        return jax.vmap(one)(om64, Br64, Bi64)
+
+    # Chunk the frequency axis through a scan (lax.map batch_size): bounds
+    # the dominant (F, nnz) SpMV gather/scatter intermediates to
+    # (chunk, nnz) — at 100k DOF an unchunked 512-pt sweep would hold
+    # ~10 GB contributions; chunking also keeps the AOT compile tractable
+    # for jacfwd-of-sweep at >12k DOF (measured: the unchunked r+J graph
+    # fails to compile at 21k, the chunked one compiles in ~2 min).
+    # lax.map applies ``one`` per frequency and vmaps internally over
+    # batch_size-sized chunks (scan across chunks)
+    return jax.lax.map(lambda a: one(*a), (om64, Br64, Bi64),
+                       batch_size=int(freq_chunk))

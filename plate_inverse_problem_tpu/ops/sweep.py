@@ -126,38 +126,97 @@ def modal_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
 # ---------------------------------------------------------------------------
 
 def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
-                 chunk: int = 16):
+                 chunk: int = 16, refine_steps: int | None = None):
     """Chunked batched dense LU over the frequency sweep.
 
     Exact for arbitrary complex stiffness (OrthotropicD4's per-modulus loss
-    factors, future frequency-dependent moduli).  ``jnp.linalg.solve`` carries
-    the correct implicit-diff AD; ``jax.checkpoint`` keeps backward memory at
-    one chunk of factors (the reference instead refactorizes per solve,
-    InnerState.h:251-305).
-    """
-    K_flat = jnp.asarray(K_flat)
-    if K_flat.ndim == 2:
-        # frequency-dependent stiffness: K_flat is (F, nnz), one operator
-        # per frequency (reference Problem.py:397-399 evaluates the material
-        # transform at every omega inside the vmapped solve)
-        Md = to_dense(M_flat, rows, cols, n).astype(K_flat.dtype)
+    factors, frequency-dependent moduli).  ``jax.checkpoint`` keeps backward
+    memory at one chunk of factors (the reference instead refactorizes per
+    solve, InnerState.h:251-305).
 
+    On f32 hardware a plain complex64 LU cannot resolve the equilibrated
+    plate operator's resonances (the ~1e8 spectral spread sinks the
+    factorization).  ``refine_steps`` rounds of iterative refinement with
+    the residual evaluated in *split-complex f64* flat-pattern SpMV (exact
+    elementwise — the same trick as ops/mixed) recover f64-grade solutions
+    from the f32 factor: error contracts by ~eps32*kappa per round.
+    Default: 4 rounds when the working dtype is complex64, 0 for
+    complex128 (the LU is already exact).  AD is implicit
+    (``lax.custom_linear_solve``; A is complex symmetric so the transpose
+    solve is the same solve — the counterpart of the reference's f64
+    UMFPACK guarantee, InnerState.h:164-308).
+    """
+    from .mixed import _residual_f64
+
+    K_flat = jnp.asarray(K_flat)
+    freq_dep = K_flat.ndim == 2
+    cdt = K_flat.dtype
+    if refine_steps is None:
+        refine_steps = 0 if cdt == jnp.complex128 else 4
+
+    Md = to_dense(M_flat, rows, cols, n).astype(cdt)
+    if not freq_dep:
+        Kd = to_dense(K_flat, rows, cols, n)
+
+    def one_factory(kf):
+        """Solve A(om) u = b for one frequency with implicit-diff AD."""
+
+        def solve_one(om, b):
+            A = (to_dense(kf, rows, cols, n) if freq_dep else Kd) \
+                - (om ** 2) * Md
+            lu, piv = jax.scipy.linalg.lu_factor(A)
+
+            Kr64 = jax.lax.stop_gradient(jnp.real(kf)).astype(jnp.float64)
+            Ki64 = jax.lax.stop_gradient(jnp.imag(kf)).astype(jnp.float64)
+            Ms64 = jax.lax.stop_gradient(
+                jnp.asarray(M_flat)).astype(jnp.float64)
+            om64 = jax.lax.stop_gradient(om).astype(jnp.float64)
+
+            def slv(mv_, bb):
+                u = jax.scipy.linalg.lu_solve((lu, piv), bb)
+                if refine_steps == 0:
+                    return u
+                b_re = jnp.real(bb).astype(jnp.float64)
+                b_im = jnp.imag(bb).astype(jnp.float64)
+                u_re = jnp.real(u).astype(jnp.float64)
+                u_im = jnp.imag(u).astype(jnp.float64)
+                for _ in range(refine_steps):
+                    r_re, r_im = _residual_f64(
+                        Kr64, Ki64, Ms64, om64 * om64, b_re, b_im,
+                        u_re, u_im, rows, cols, n)
+                    d = jax.scipy.linalg.lu_solve(
+                        (lu, piv),
+                        (r_re + 1j * r_im).astype(cdt))
+                    u_re = u_re + jnp.real(d).astype(jnp.float64)
+                    u_im = u_im + jnp.imag(d).astype(jnp.float64)
+                return (u_re + 1j * u_im).astype(cdt)
+
+            def mv(x):
+                Kx = spmv_flat(kf, rows, cols, x, n)
+                Mx = spmv_flat(jnp.asarray(M_flat).astype(x.dtype),
+                               rows, cols, x, n)
+                return Kx - (om ** 2) * Mx
+
+            # A is complex *symmetric*: transpose solve == solve
+            return jax.lax.custom_linear_solve(
+                mv, b, solve=slv, transpose_solve=slv)
+
+        return solve_one
+
+    if freq_dep:
         @jax.checkpoint
         def one_fd(args):
             om, b, kf = args
-            A = to_dense(kf, rows, cols, n) - (om**2) * Md
-            return jnp.linalg.solve(A, b)
+            return one_factory(kf)(om, b)
 
         return jax.lax.map(one_fd, (omegas, B, K_flat), batch_size=chunk)
 
-    Kd = to_dense(K_flat, rows, cols, n)
-    Md = to_dense(M_flat, rows, cols, n).astype(Kd.dtype)
+    solve_one = one_factory(K_flat)
 
     @jax.checkpoint
     def one(args):
         om, b = args
-        A = Kd - (om**2) * Md
-        return jnp.linalg.solve(A, b)
+        return solve_one(om, b)
 
     return jax.lax.map(one, (omegas, B), batch_size=chunk)
 

@@ -44,6 +44,40 @@ def shard_frequencies(mesh: Mesh, freqs: jax.Array) -> jax.Array:
     return jax.device_put(freqs, NamedSharding(mesh, P("freq")))
 
 
+def opdata_shardings(mesh: Mesh, opdata):
+    """Sharding tree for the operator pytree: the DOF-heavy operands are
+    row-partitioned over the ``dof`` mesh axis, the rest replicated.
+
+    What actually shards (explicit GSPMD annotations, SURVEY §2.4 TP row):
+
+    * ``invK32`` (n, n) — the mixed engine's dense complement
+      preconditioner, by far the largest buffer (O(n^2)): each dof-shard
+      holds n/D rows; the per-iteration GEMM computes its row block and
+      XLA all-gathers the (n,)-sized product — O(n) comm for O(n^2/D)
+      compute, the classic row-parallel pattern.  An n=20k preconditioner
+      (1.6 GB f32) stops fitting alongside the sweep on one chip; a dof=2
+      split halves it per device.
+    * ``W64`` (n, m) — the band-basis panel: row-sharded; the Rayleigh-Ritz
+      panel products contract over the sharded axis (psum of (m, m)).
+
+    Everything else (flat operator data, index vectors, lifts) is
+    replicated — sharding the nnz axis would trade O(F n) psums per SpMV
+    for O(F nnz / D) local work, a loss at the plate operator's ~23
+    nnz/row.
+    """
+    repl = NamedSharding(mesh, P())
+    ndof = mesh.shape.get("dof", 1)
+
+    def place(path, leaf):
+        name = path[-1].key if path and hasattr(path[-1], "key") else ""
+        if (ndof > 1 and name in ("invK32", "W64") and leaf.ndim == 2
+                and leaf.shape[0] % ndof == 0 and leaf.shape[0] > 1):
+            return NamedSharding(mesh, P("dof", None))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(place, opdata)
+
+
 def sharded_fr_function(problem, mesh: Mesh):
     """Sharded version of ``Problem.getFRFunction``.
 
@@ -56,7 +90,7 @@ def sharded_fr_function(problem, mesh: Mesh):
     core, opdata = problem.getFRCore()
     repl = NamedSharding(mesh, P())
     fshard = NamedSharding(mesh, P("freq"))
-    od_shardings = jax.tree.map(lambda _: repl, opdata)
+    od_shardings = opdata_shardings(mesh, opdata)
 
     def fn(freqs, params, od):
         fr = core(freqs, params, od)
@@ -108,7 +142,7 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
 
     repl = NamedSharding(mesh, P())
     fshard = NamedSharding(mesh, P("freq"))
-    od_shardings = jax.tree.map(lambda _: repl, opdata)
+    od_shardings = opdata_shardings(mesh, opdata)
     jitted = jax.jit(
         step,
         in_shardings=(fshard, fshard, repl, repl, od_shardings),

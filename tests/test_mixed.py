@@ -193,3 +193,80 @@ def test_hessian_through_mixed(plate_system):
     eps = 1e-5
     col0 = (g(np.array([1.0 + eps, 0.01])) - g(np.array([1.0 - eps, 0.01]))) / (2 * eps)
     np.testing.assert_allclose(H[:, 0], col0, rtol=1e-3)
+
+
+def test_freq_chunked_sweep_matches_unchunked():
+    """freq_chunk is a pure scheduling knob: chunked and unchunked sweeps
+    (and their gradients) agree to roundoff, including a remainder chunk."""
+    import plate_inverse_problem_tpu as pip
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def make(**kw):
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+        return pip.Problem(geom, mat, acc, engine="mixed", **kw)
+
+    freqs = np.linspace(60.0, 400.0, 7)   # 7 = 2 chunks of 3 + remainder
+    p0 = make()
+    theta = np.asarray(p0.parameters)
+    y0 = np.asarray(p0.getFRFunction()(freqs, theta))
+    p1 = make(freq_chunk=3)
+    y1 = np.asarray(p1.getFRFunction()(freqs, theta))
+    # batched while_loop refinement runs until ALL lanes in a chunk
+    # converge, so chunk composition changes iteration counts by one --
+    # differences are at the refinement floor, not the solve tolerance
+    np.testing.assert_allclose(y1, y0, rtol=1e-9)
+
+    ref = p0.solveForward(freqs)
+    g0 = np.asarray(p0.getLossFunction(freqs, ref, "MSE_LOG_AFC").grad(theta * 1.02))
+    g1 = np.asarray(p1.getLossFunction(freqs, ref, "MSE_LOG_AFC").grad(theta * 1.02))
+    np.testing.assert_allclose(g1, g0, rtol=1e-6)
+
+
+def test_direct_sweep_x32_refinement_matches_f64_oracle(plate_system):
+    """The direct engine's f64-residual iterative refinement recovers
+    f64-grade solutions from a complex64 LU — including exactly at a
+    resonance — closing the x32 accuracy hole for materials that cannot
+    use the mixed engine (freq-dependent/per-modulus-loss transforms)."""
+    from plate_inverse_problem_tpu.ops.sweep import direct_sweep
+
+    d = plate_system
+    n, rows, cols = d["n"], d["rows"], d["cols"]
+
+    Ksp = sp.csc_matrix((d["K"], (rows, cols)), shape=(n, n))
+    Msp = sp.csc_matrix((d["M"], (rows, cols)), shape=(n, n))
+    lam_low = spla.eigsh(Ksp, k=6, M=Msp, sigma=0, which="LM",
+                         return_eigenvectors=False)
+    om_res = np.float32(np.sqrt(np.sort(lam_low)[2]))
+    omegas = np.array([np.float32(2 * np.pi * 300.0), om_res], np.float32)
+
+    rng = np.random.default_rng(3)
+    B64 = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    Kc32 = (d["K"] * (1 + 1j * d["beta"])).astype(np.complex64)
+    M32 = d["M"].astype(np.float32)
+    B32 = B64.astype(np.complex64)
+
+    # oracle solves the SAME (f32-rounded) data in f64
+    oracle = _oracle(
+        dict(n=n, rows=rows, cols=cols, beta=0.0,
+             K=np.asarray(Kc32).astype(np.complex128), M=M32.astype(float)),
+        omegas.astype(float), B32.astype(np.complex128))
+
+    rj, cj = jnp.asarray(rows), jnp.asarray(cols)
+    U = np.asarray(direct_sweep(jnp.asarray(Kc32), jnp.asarray(M32),
+                                jnp.asarray(B32), jnp.asarray(omegas),
+                                rj, cj, n, chunk=2))
+    rel = np.abs(U - oracle).max(axis=1) / np.abs(oracle).max(axis=1)
+    assert rel.max() < 5e-6, rel
+
+    # without refinement the f32 factorization cannot resolve the
+    # resonance (the documented O(1) cliff this feature removes)
+    U0 = np.asarray(direct_sweep(jnp.asarray(Kc32), jnp.asarray(M32),
+                                 jnp.asarray(B32), jnp.asarray(omegas),
+                                 rj, cj, n, chunk=2, refine_steps=0))
+    rel0 = np.abs(U0 - oracle).max(axis=1) / np.abs(oracle).max(axis=1)
+    assert rel0[1] > 1e-3

@@ -144,7 +144,6 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
         cand = cand[d >= 0.62 * h]
 
     nb = bpts.shape[0]
-    points = np.concatenate([bpts, cand], axis=0)
 
     # boundary segments (global point indexing) and their labels
     segs, seg_labels = [], []
@@ -157,6 +156,28 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
         off += m
     segs = np.concatenate(segs, axis=0)
     seg_labels = np.concatenate(seg_labels, axis=0)
+
+    # unify coincident border points: a tangent internal border (e.g. the
+    # accelerometer circle touching a plate edge, sh_i.edp) shares exact
+    # points with the outer loop — duplicates would make degenerate
+    # triangles.  Keep the first occurrence, remap segments, drop any
+    # zero-length segment this produces.
+    scale = float(max(np.ptp(bpts, axis=0)))
+    tree0 = cKDTree(bpts)
+    remap = np.arange(nb)
+    for i, j in sorted(tree0.query_pairs(1e-12 + 1e-9 * scale)):
+        remap[max(i, j)] = remap[min(i, j)]
+    if (remap != np.arange(nb)).any():
+        keep_mask = remap == np.arange(nb)
+        new_idx = np.cumsum(keep_mask) - 1
+        remap = new_idx[remap]
+        bpts = bpts[keep_mask]
+        segs = remap[segs]
+        live = segs[:, 0] != segs[:, 1]
+        segs, seg_labels = segs[live], seg_labels[live]
+        nb = bpts.shape[0]
+
+    points = np.concatenate([bpts, cand], axis=0)
 
     def has_all_segments(tris):
         e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
@@ -179,20 +200,19 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
         for i in missing:
             a, b = segs[i]
             mid = 0.5 * (points[a] + points[b])
-            j = points.shape[0] + len(new_pts)
+            # midpoints are inserted at the end of the BOUNDARY block
+            # (position nb + k); segment endpoints are always boundary
+            # points (< nb), so existing indices never shift
+            j = nb + len(new_pts)
             new_pts.append(mid)
             new_segs += [[a, j], [j, b]]
             new_labels += [seg_labels[i], seg_labels[i]]
         keep = [i for i in range(segs.shape[0]) if i not in drop]
-        # midpoints are boundary points: insert before interior block so
-        # the clearance rule below knows about them
         nb_new = len(new_pts)
         points = np.concatenate(
             [points[:nb], np.asarray(new_pts), points[nb:]], axis=0)
-        shift = lambda arr: np.where(arr >= nb, arr + nb_new, arr)  # noqa: E731
         segs = np.concatenate(
-            [shift(segs[keep]),
-             shift(np.asarray(new_segs, segs.dtype))], axis=0)
+            [segs[keep], np.asarray(new_segs, segs.dtype)], axis=0)
         seg_labels = np.concatenate([seg_labels[keep], new_labels])
         nb += nb_new
         # drop interior points crowding the new boundary points

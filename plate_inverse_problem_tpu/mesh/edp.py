@@ -1,0 +1,130 @@
+"""FreeFEM ``.edp`` geometry import: borders -> unstructured mesh.
+
+The reference drives FreeFEM with user-editable ``.edp`` scripts
+(/root/reference/source/jax_plate/Geometry.py:115-145): plate domains are
+``border`` arcs combined by ``buildmesh``.  This parser understands that
+geometry subset — ``real``/``int`` parameter lines, parametric ``border``
+definitions, and the ``buildmesh(...)`` combination — and meshes the
+domain with the native Delaunay mesher (mesh/delaunay.py), so arbitrary
+user domains (holes, notches, curved arcs) work without FreeFEM.
+
+Only the *geometry* statements are interpreted; FE-space/varf/solve
+sections of an ``.edp`` are ignored (the solver stack here replaces them).
+Expressions are evaluated in a restricted numpy namespace (``cos``,
+``sin``, ``pi``, previously defined parameters, the arc parameter ``t``).
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .core import TriangleMesh
+from .delaunay import build_mesh
+
+_SAFE = {
+    "cos": np.cos, "sin": np.sin, "tan": np.tan, "sqrt": np.sqrt,
+    "exp": np.exp, "log": np.log, "abs": np.abs, "atan2": np.arctan2,
+    "pi": np.pi, "min": np.minimum, "max": np.maximum,
+    "__builtins__": {},
+}
+
+
+def _eval(expr: str, env: dict):
+    return eval(expr, _SAFE | env)  # noqa: S307 (restricted namespace)
+
+
+def parse_edp_geometry(text: str):
+    """Parse parameters, borders and the buildmesh call of an .edp script.
+
+    Returns ``(params, borders, calls)`` where ``params`` maps name ->
+    float, ``borders`` maps name -> dict(t0, t1, x_expr, y_expr, label),
+    and ``calls`` is the ordered buildmesh list of (border_name,
+    n_segments, reversed).
+    """
+    params: dict[str, float] = {}
+    for m in re.finditer(
+            r"^\s*(?:real|int)\s+(\w+)\s*=\s*([^;]+);", text, re.MULTILINE):
+        name, expr = m.group(1), m.group(2).strip()
+        try:
+            params[name] = float(_eval(expr, dict(params)))
+        except Exception:
+            continue
+
+    borders = {}
+    for m in re.finditer(
+            r"border\s+(\w+)\s*\(\s*t\s*=\s*([^,]+),\s*([^)]+)\)\s*"
+            r"\{([^}]*)\}", text):
+        name, t0e, t1e, body = m.groups()
+        xb = re.search(r"x\s*=\s*([^;]+);", body)
+        yb = re.search(r"y\s*=\s*([^;]+);", body)
+        lb = re.search(r"label\s*=\s*([^;]+);", body)
+        if xb is None or yb is None:
+            continue
+        borders[name] = {
+            "t0": float(_eval(t0e, dict(params))),
+            "t1": float(_eval(t1e, dict(params))),
+            "x": xb.group(1).strip(),
+            "y": yb.group(1).strip(),
+            "label": int(_eval(lb.group(1), dict(params))) if lb else 0,
+        }
+
+    calls = []
+    bm = re.search(r"buildmesh\s*\(([^;]*)\)\s*;", text, re.DOTALL)
+    if bm:
+        for part in re.finditer(r"([+-]?)\s*(\w+)\s*\(([^)]*)\)", bm.group(1)):
+            sign, name, ne = part.groups()
+            if name not in borders:
+                continue
+            n = int(round(float(_eval(ne, dict(params)))))
+            calls.append((name, abs(n), sign == "-" or n < 0))
+    return params, borders, calls
+
+
+def _discretize(border_def, n: int, reverse: bool, env):
+    """(points, labels, end_point) of an arc; points exclude the arc end
+    (arcs chain into loops), end_point is the exact x(t1), y(t1)."""
+    t0, t1 = border_def["t0"], border_def["t1"]
+    if reverse:
+        t0, t1 = t1, t0
+    t = np.linspace(t0, t1, n + 1)
+    e = dict(env)
+    e["t"] = t
+    x = np.broadcast_to(np.asarray(_eval(border_def["x"], e), float), t.shape)
+    y = np.broadcast_to(np.asarray(_eval(border_def["y"], e), float), t.shape)
+    pts = np.stack([x, y], axis=1)
+    return pts[:-1], np.full(n, border_def["label"], np.int32), pts[-1]
+
+
+def mesh_from_edp(text: str, *, smooth: int = 4, seed: int | None = None,
+                  jitter: float = 0.0) -> TriangleMesh:
+    """Mesh the buildmesh domain of an .edp script.
+
+    Arcs are chained into closed loops by endpoint proximity (the FreeFEM
+    convention: consecutive buildmesh arcs share endpoints; a loop closes
+    when the chain returns to its starting point).
+    """
+    params, borders, calls = parse_edp_geometry(text)
+    if not calls:
+        raise ValueError("no buildmesh(...) statement found in .edp script")
+
+    arcs = [_discretize(borders[nm], n, rev, params) for nm, n, rev in calls]
+
+    # chain arcs into loops by exact endpoints
+    loops = []
+    cur_pts, cur_lab = [], []
+    allp = np.concatenate([a[0] for a in arcs], axis=0)
+    tol = 1e-9 + 1e-6 * float(max(np.ptp(allp, axis=0)))
+    start = None
+    for pts, lab, end in arcs:
+        if start is None:
+            start = pts[0]
+        cur_pts.append(pts)
+        cur_lab.append(lab)
+        if np.linalg.norm(end - start) < tol:
+            loops.append((np.concatenate(cur_pts), np.concatenate(cur_lab)))
+            cur_pts, cur_lab, start = [], [], None
+    if cur_pts:
+        loops.append((np.concatenate(cur_pts), np.concatenate(cur_lab)))
+
+    return build_mesh(loops, smooth=smooth, seed=seed, jitter=jitter)

@@ -139,7 +139,8 @@ class Geometry:
                     params = GeometryParams(None, None, height, None, None)
             elif ext == ".edp":
                 with open(edp_or_template, "r") as fh:
-                    vals = _parse_edp_params(fh.read())
+                    text = fh.read()
+                vals = _parse_edp_params(text)
                 if params is None and height is None:
                     raise ValueError(
                         "Height of the plate should be specified via `params` "
@@ -150,8 +151,24 @@ class Geometry:
                         vals.get("Lx"), vals.get("Ly"), height,
                         vals.get("offsetAccelX"), vals.get("offsetAccelY"),
                     )
-                self.template = "sh_r"
                 self._edp_vals = vals
+                # mesh the script's buildmesh domain directly (arbitrary
+                # borders/holes — the reference would hand this to FreeFEM,
+                # Geometry.py:115-145)
+                try:
+                    from ..mesh.edp import mesh_from_edp
+
+                    self._mesh = mesh_from_edp(text)
+                except Exception as err:
+                    import warnings
+
+                    warnings.warn(
+                        f"Could not mesh the .edp buildmesh domain ({err}); "
+                        "falling back to the rectangle template with the "
+                        "script's parsed Lx/Ly/accel parameters.",
+                        RuntimeWarning,
+                    )
+                    self.template = "sh_r"
             else:
                 raise ValueError(f"Unsupported geometry file extension {ext!r}.")
         else:

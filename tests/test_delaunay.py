@@ -1,0 +1,114 @@
+"""Unstructured meshing: border-loop Delaunay domains, holes, .edp import
+(the reference's arbitrary-buildmesh capability, Geometry.py:115-145)."""
+import os
+
+import numpy as np
+import pytest
+
+import plate_inverse_problem_tpu as pip
+from plate_inverse_problem_tpu.mesh.delaunay import border, build_mesh, chain
+from plate_inverse_problem_tpu.mesh.edp import mesh_from_edp, parse_edp_geometry
+
+REF_GEO = "/root/reference/source/jax_plate/geometry"
+
+EDP_SNIPPET = """
+real Lx = 80e-3;
+real Ly = 40e-3;
+real r = 8e-3;
+int n = 10;
+border Bl(t=0., 1){x=0; y=Ly - t*Ly; label=0;}
+border Bb(t=0., 1){x=Lx*t; y=0; label=0;}
+border Br(t=0., 1){x=Lx; y=t*Ly; label=1;}
+border Bt(t=0., 1){x=(1-t)*Lx; y=Ly; label=0;}
+border Hole(t=0., 2*pi){x=Lx/2 + r*cos(-t); y=Ly/2 + r*sin(-t); label=0;}
+mesh Th = buildmesh(Bl(n) + Bb(2*n) + Br(n) + Bt(2*n) + Hole(n));
+"""
+
+
+def _rect_with_hole(scale: int):
+    Lx, Ly, r = 80e-3, 40e-3, 8e-3
+    loop = chain(
+        border(lambda t: (0 * t, Ly / 2 - t * Ly), 0, 1, 10 * scale),
+        border(lambda t: (Lx * t, -Ly / 2 + 0 * t), 0, 1, 20 * scale),
+        border(lambda t: (Lx + 0 * t, -Ly / 2 + t * Ly), 0, 1, 10 * scale,
+               label=1),
+        border(lambda t: ((1 - t) * Lx, Ly / 2 + 0 * t), 0, 1, 20 * scale),
+    )
+    hole = border(lambda t: (Lx / 2 + r * np.cos(-t), r * np.sin(-t)),
+                  0, 2 * np.pi, 12 * scale)
+    return build_mesh([loop, hole], smooth=3)
+
+
+def test_hole_domain_mesh_is_sound():
+    m = _rect_with_hole(1)
+    assert m.num_triangles > 100
+    assert m.areas().min() > 0
+    assert (m.edge_labels == 1).sum() == 10          # clamped side intact
+    # no triangle inside the hole
+    cen = m.nodes[m.triangles].mean(axis=1)
+    d = np.hypot(cen[:, 0] - 40e-3, cen[:, 1])
+    assert (d < 7.5e-3).sum() == 0
+    # hole boundary honored: ring of edges at radius r
+    assert (np.hypot(*m.nodes.T - np.array([[40e-3], [0.0]])) < 8.01e-3).sum() >= 12
+
+
+def test_hole_domain_solves_and_converges():
+    """Mesh + solve a clamped plate with an interior hole; the fundamental
+    frequency is mesh-converged to ~0.5% between two densities (the
+    convergence-sanity gate for arbitrary domains)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    f0s = []
+    for scale in (1, 2):
+        m = _rect_with_hole(scale)
+        geom = pip.Geometry(
+            "symm", pip.Accelerometer("AP1030"),
+            pip.GeometryParams(80e-3, 40e-3, 2e-3, 20e-3, None))
+        geom._mesh = m
+        p = pip.Problem(geom, mat, None)      # symmetric bending path
+        _, od = p.getFRCore()
+        n = p.n_free
+        rows, cols = np.asarray(od["rows"]), np.asarray(od["cols"])
+        import jax
+        with jax.default_device(jax.devices("cpu")[0]):
+            D = np.asarray(mat.get_D_transform(2e-3)(
+                np.asarray(p.parameters), 0.0))
+        Kf = np.einsum("k,kn->n", D.real, np.asarray(od["Ks"]))
+        K = sp.csc_matrix((Kf, (rows, cols)), shape=(n, n))
+        M = sp.csc_matrix((np.asarray(od["MIn"]), (rows, cols)), shape=(n, n))
+        lam = spla.eigsh(0.5 * (K + K.T), k=1, M=0.5 * (M + M.T),
+                         sigma=0, which="LM", return_eigenvectors=False)
+        f0s.append(float(np.sqrt(lam[0]) / (2 * np.pi)))
+    assert abs(f0s[1] - f0s[0]) / f0s[1] < 7e-3, f0s
+
+
+def test_edp_snippet_parse_and_mesh():
+    params, borders, calls = parse_edp_geometry(EDP_SNIPPET)
+    assert params["Lx"] == pytest.approx(80e-3)
+    assert borders["Br"]["label"] == 1
+    assert [c[0] for c in calls] == ["Bl", "Bb", "Br", "Bt", "Hole"]
+    m = mesh_from_edp(EDP_SNIPPET)
+    assert m.num_triangles > 100
+    # the CW hole is empty
+    cen = m.nodes[m.triangles].mean(axis=1)
+    assert (np.hypot(cen[:, 0] - 40e-3, cen[:, 1] - 20e-3) < 7.5e-3).sum() == 0
+    assert (m.edge_labels == 1).sum() == 10
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GEO),
+                    reason="reference checkout not available")
+def test_reference_edp_scripts_mesh_and_solve():
+    """The reference's own geometry scripts import end-to-end: borders ->
+    Delaunay mesh -> Geometry -> Problem -> FRF."""
+    geom = pip.Geometry(os.path.join(REF_GEO, "symm.edp"), height=2e-3)
+    m = geom.get_mesh()
+    assert m.num_triangles > 500
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    acc = pip.Accelerometer("AP1030")
+    geom2 = pip.Geometry(os.path.join(REF_GEO, "symm.edp"), acc, height=2e-3)
+    p = pip.Problem(geom2, mat, acc)
+    y = np.asarray(p.getFRFunction()(np.array([100.0, 200.0]),
+                                     np.asarray(p.parameters)))
+    assert np.all(np.isfinite(y)) and np.all(y > 0)

@@ -22,6 +22,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_BASE_ARGS = None
+
+
+def _baseline_solve(f):
+    """One reference-recipe solve (sparse LU + triangular solves) — worker
+    for the all-cores baseline pool."""
+    import scipy.sparse.linalg as spla
+
+    Kcsc, Mcsc, bK, fIn = _BASE_ARGS
+    om = 2 * np.pi * f
+    lu = spla.splu((Kcsc - om ** 2 * Mcsc).tocsc())
+    return lu.solve(bK - om ** 2 * fIn)[:1]
+
+
 def main():
     import jax
 
@@ -121,8 +135,32 @@ def main():
         u = lu.solve(bK - om**2 * fIn)
     base_per_solve = (time.perf_counter() - t0) / n_base
     base_solves_per_sec = 1.0 / base_per_solve
-    log(f"baseline (scipy splu, CPU): {base_per_solve*1e3:.1f} ms/solve -> "
-        f"{base_solves_per_sec:.1f} solves/s")
+    log(f"baseline (scipy splu, 1 thread): {base_per_solve*1e3:.1f} ms/solve "
+        f"-> {base_solves_per_sec:.1f} solves/s")
+
+    # The reference's UMFPACK loop runs on ALL host cores (cpu=0 default,
+    # InnerState.h:251-304) — reproduce that with a process pool over
+    # frequencies so vs_baseline compares chip vs whole host, not chip vs
+    # one core.
+    import os as _os
+    n_workers = min(_os.cpu_count() or 1, 16)
+    base_mc_solves_per_sec = base_solves_per_sec
+    if n_workers > 1:
+        try:
+            import multiprocessing as _mp
+
+            n_jobs = 2 * n_workers
+            ctx = _mp.get_context("fork")
+            global _BASE_ARGS
+            _BASE_ARGS = (Kcsc, Mcsc, bK, fIn)
+            t0 = time.perf_counter()
+            with ctx.Pool(n_workers) as pool:
+                pool.map(_baseline_solve, freqs[:n_jobs])
+            base_mc_solves_per_sec = n_jobs / (time.perf_counter() - t0)
+            log(f"baseline (scipy splu, {n_workers} procs): "
+                f"{base_mc_solves_per_sec:.1f} solves/s")
+        except Exception as err:
+            log(f"multicore baseline skipped ({err})")
 
     # correctness cross-check at the readout level vs the f64 sparse-LU
     # oracle — includes the resonance peak (the hardest point)
@@ -155,11 +193,14 @@ def main():
                   f"n_free={p.n_free})",
         "value": round(solves_per_sec, 2),
         "unit": "solves/sec/chip",
-        "vs_baseline": round(solves_per_sec / base_solves_per_sec, 3),
+        # chip vs the reference recipe on the WHOLE host (all-cores LU pool,
+        # matching UMFPACK cpu=0); the 1-thread number is also reported
+        "vs_baseline": round(solves_per_sec / base_mc_solves_per_sec, 3),
         "extra": {
             "sweep_ms": round(per_sweep * 1e3, 2),
             "compile_s": round(compile_s, 2),
-            "baseline_solves_per_sec": round(base_solves_per_sec, 2),
+            "baseline_solves_per_sec_1thread": round(base_solves_per_sec, 2),
+            "baseline_solves_per_sec_allcores": round(base_mc_solves_per_sec, 2),
             "engine": p._engine(),
             "worst_rel_err_vs_f64_splu": float(rel),
             "checksum": checksum,

@@ -694,6 +694,10 @@ class Problem:
         # sweep (and keeps the AOT jacfwd compile tractable at >12k DOF).
         # Auto policy: ~4 GB of live f64 contributions assuming a few
         # buffers in flight; no chunking for small patterns.
+        # scalar-loss materials have K_im = beta*K_re exactly: the sweep
+        # can skip the imaginary-stiffness SpMVs (ops.mixed._residual_prop64)
+        ki_prop = bool(self.material.scalar_loss_factor)
+
         freq_chunk = self.freq_chunk
         if freq_chunk is None and op.pattern.nnz > 300_000:
             freq_chunk = int(max(
@@ -805,7 +809,7 @@ class Problem:
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
                     n_refine=n_refine, freq_chunk=freq_chunk,
-                    **_mg_kwargs(od),
+                    ki_proportional=ki_prop, **_mg_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -864,7 +868,7 @@ class Problem:
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
                 n_refine=n_refine, freq_chunk=freq_chunk,
-                **_mg_kwargs(od),
+                ki_proportional=ki_prop, **_mg_kwargs(od),
             )
 
             def mag2(rvec, r0):

@@ -129,13 +129,29 @@ def _residual_f64(Kr64, Ki64, Ms64, om2_64, b_re, b_im, u_re, u_im,
     return b_re - Au_re, b_im - Au_im
 
 
+def _residual_prop64(Kr64, beta64, Ms64, om2_64, b_re, b_im, u_re, u_im,
+                     rows, cols, n):
+    """r = b - A u for A = (1 + i beta) K_r - om^2 M (scalar loss factor).
+
+    K_i = beta K_r exactly for the scalar-loss material families, so the
+    two K_i matvecs of the general residual are scalar multiples of the
+    K_r ones — 4 SpMVs instead of 6, batched re/im gathers."""
+    uu = jnp.stack([u_re, u_im])
+    Ku = _spmv64(Kr64, rows, cols, uu, n)
+    Mu = _spmv64(Ms64, rows, cols, uu, n)
+    Au_re = Ku[0] - beta64 * Ku[1] - om2_64 * Mu[0]
+    Au_im = Ku[1] + beta64 * Ku[0] - om2_64 * Mu[1]
+    return b_re - Au_re, b_im - Au_im
+
+
 # ---------------------------------------------------------------------------
 # the mixed sweep
 # ---------------------------------------------------------------------------
 
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 8, refine_tol: float = 3e-7,
-                mg=None, K_ref64=None, freq_chunk: int | None = None):
+                mg=None, K_ref64=None, freq_chunk: int | None = None,
+                ki_proportional: bool = False):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -199,7 +215,10 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                                     rows, cols, x64)
     else:
         def precond(x64):
-            return (invK32 @ x64.astype(jnp.float32)).astype(jnp.float64)
+            # batched (..., n) application of the dense f32 inverse
+            y32 = jnp.einsum("ij,...j->...i", invK32,
+                             x64.astype(jnp.float32))
+            return y32.astype(jnp.float64)
 
     def one(om, b_re_in, b_im_in):
         om64 = om.astype(jnp.float64)
@@ -238,18 +257,26 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
                 def body(state):
                     u_re, u_im, k, _ = state
-                    r_re, r_im = _residual_f64(
-                        Kr64, sign * Ki64, Ms64, om2, bb_re, bb_im, u_re, u_im,
-                        rows, cols, n,
-                    )
+                    if ki_proportional:
+                        r_re, r_im = _residual_prop64(
+                            Kr64, sign * beta64, Ms64, om2, bb_re, bb_im,
+                            u_re, u_im, rows, cols, n,
+                        )
+                    else:
+                        r_re, r_im = _residual_f64(
+                            Kr64, sign * Ki64, Ms64, om2, bb_re, bb_im,
+                            u_re, u_im, rows, cols, n,
+                        )
                     rn2 = jnp.sum(r_re * r_re) + jnp.sum(r_im * r_im)
                     db_re, db_im = band_solve_f64(r_re, r_im)
-                    # deflate band component before the complement precond
-                    rc_re = r_re - MZ64 @ (Zw64.T @ r_re)
-                    rc_im = r_im - MZ64 @ (Zw64.T @ r_im)
-                    dc_re = precond(rc_re)
-                    dc_im = precond(rc_im)
-                    return (u_re + db_re + dc_re, u_im + db_im + dc_im,
+                    # deflate band component before the complement precond;
+                    # re/im stacked so the preconditioner graph (the
+                    # multilevel W-cycle in mg mode) is traced ONCE per
+                    # iteration, not twice
+                    rr = jnp.stack([r_re, r_im])
+                    rc = rr - (MZ64 @ (Zw64.T @ rr.T)).T
+                    dc = precond(rc)
+                    return (u_re + db_re + dc[0], u_im + db_im + dc[1],
                             k + 1, rn2)
 
                 u_re, u_im, _, _ = jax.lax.while_loop(
@@ -261,8 +288,20 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             return slv
 
         def mv(x):
-            """Split-complex A x (f64): x is a (re, im) pair pytree."""
+            """Split-complex A x (f64): x is a (re, im) pair pytree.
+
+            With ``ki_proportional`` the imaginary stiffness matvecs are
+            scalar multiples of the real ones (K_i = beta K_r); the traced
+            projection ``beta`` makes the tangent map exact for the
+            scalar-loss material families: dK_i = dbeta K_r + beta dK_r
+            and the projection's differential recovers dbeta exactly."""
             x_re, x_im = x
+            if ki_proportional:
+                xx = jnp.stack([x_re, x_im])
+                Kx = _spmv64(K_re, rows, cols, xx, n)
+                Mx = _spmv64(M_flat, rows, cols, xx, n)
+                return (Kx[0] - beta * Kx[1] - om2 * Mx[0],
+                        Kx[1] + beta * Kx[0] - om2 * Mx[1])
             Kx_re = _spmv64(K_re, rows, cols, x_re, n)
             Kx_im = _spmv64(K_re, rows, cols, x_im, n)
             Kix_re = _spmv64(K_im, rows, cols, x_re, n)

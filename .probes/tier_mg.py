@@ -14,6 +14,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import plate_inverse_problem_tpu as pip
 
 refine = float(os.environ.get("REFINE", "4"))
+precond = os.environ.get("PRECOND", "mg")
 F = int(os.environ.get("NFREQ", "512"))
 do_gn = os.environ.get("GN", "1") == "1"
 do_oracle = os.environ.get("ORACLE", "0") == "1"
@@ -25,13 +26,14 @@ t0 = time.time()
 geom = pip.Geometry("sh_i", acc,
                     pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
                     refine=refine)
-p = pip.Problem(geom, mat, acc, engine="mixed", precond="mg", f_max=600.0)
+p = pip.Problem(geom, mat, acc, engine="mixed", precond=precond, f_max=600.0)
 t1 = time.time()
 print(f"init {t1-t0:.1f}s n_free={p.n_free} nnz={p.op.pattern.nnz}", flush=True)
 core, od = p.getFRCore()
 t2 = time.time()
-print(f"host prep {t2-t1:.1f}s levels={p._mg_static['n']} "
-      f"m={od['W64'].shape[1]}", flush=True)
+lv = p._mg_static["n"] if precond == "mg" else "dense"
+print(f"host prep {t2-t1:.1f}s levels={lv} m={od['W64'].shape[1]} "
+      f"chunk={getattr(p, 'freq_chunk', None)}", flush=True)
 
 freqs = np.linspace(40, 600, F)
 theta = np.asarray(p.parameters)

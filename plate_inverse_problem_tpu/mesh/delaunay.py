@@ -98,9 +98,40 @@ def _keep_inside(loops, points, tris):
     return tris[_inside_domain(loops, cen)]
 
 
+def _graded_points(cand, size_field, h_uniform):
+    """Greedy Poisson-disk thinning of a fine candidate lattice to honor a
+    spatially-varying size field (the ``adaptmesh`` point distribution)."""
+    from scipy.spatial import cKDTree
+
+    hs = np.asarray(size_field(cand), float)
+    order = np.argsort(hs)                    # densest regions claim first
+    cand, hs = cand[order], hs[order]
+    accepted = np.zeros((0, 2))
+    acc_h = np.zeros(0)
+    for i0 in range(0, cand.shape[0], 2048):
+        chunk = cand[i0:i0 + 2048]
+        ch = hs[i0:i0 + 2048]
+        if accepted.shape[0]:
+            d, j = cKDTree(accepted).query(chunk, k=1)
+            keep = d >= 0.92 * np.maximum(ch, acc_h[j])
+            chunk, ch = chunk[keep], ch[keep]
+        # intra-chunk spacing
+        sel = np.ones(chunk.shape[0], bool)
+        tree = cKDTree(chunk)
+        for a, b in sorted(tree.query_pairs(float(ch.max() if ch.size else 0))):
+            if sel[a] and sel[b]:
+                if np.linalg.norm(chunk[a] - chunk[b]) < \
+                        0.92 * max(ch[a], ch[b]):
+                    sel[b] = False
+        accepted = np.concatenate([accepted, chunk[sel]])
+        acc_h = np.concatenate([acc_h, ch[sel]])
+    return accepted
+
+
 def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
                seed: int | None = None, jitter: float = 0.0,
-               max_recovery: int = 8) -> TriangleMesh:
+               max_recovery: int = 8, size_field=None,
+               h_min: float | None = None) -> TriangleMesh:
     """Mesh the domain bounded by ``loops``.
 
     ``loops``: list of ``(points (N, 2), seg_labels (N,))`` closed polylines
@@ -109,6 +140,10 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
     ``smooth``: Laplacian smoothing passes on interior points.
     ``seed``/``jitter``: perturb the interior lattice by ``jitter * h`` —
     independent realizations for convergence/scatter studies.
+    ``size_field``: optional callable ``(M, 2) -> (M,)`` giving the local
+    target spacing — metric-driven grading, the counterpart of FreeFEM's
+    ``adaptmesh`` (/root/reference/source/pyFreeFem/functions.py:93-136);
+    ``h_min`` floors it (default h/8).
     """
     loops = [(np.asarray(p, np.float64), np.asarray(l, np.int32))
              for p, l in loops]
@@ -125,23 +160,36 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
 
     lo = bpts.min(axis=0)
     hi = bpts.max(axis=0)
-    dy = h * np.sqrt(3.0) / 2.0
-    rows = np.arange(lo[1] + 0.5 * dy, hi[1], dy)
-    cand = []
-    for j, yv in enumerate(rows):
-        xo = lo[0] + (0.25 + 0.5 * (j % 2)) * h
-        xs = np.arange(xo, hi[0], h)
-        cand.append(np.stack([xs, np.full_like(xs, yv)], axis=1))
-    cand = (np.concatenate(cand, axis=0) if cand
-            else np.zeros((0, 2)))
+    h_lattice = h
+    if size_field is not None:
+        floor = h_min if h_min is not None else h / 8.0
+        h_lattice = float(floor)
+
+    def hex_lattice(step):
+        dy = step * np.sqrt(3.0) / 2.0
+        out = []
+        for j, yv in enumerate(np.arange(lo[1] + 0.5 * dy, hi[1], dy)):
+            xo = lo[0] + (0.25 + 0.5 * (j % 2)) * step
+            xs = np.arange(xo, hi[0], step)
+            out.append(np.stack([xs, np.full_like(xs, yv)], axis=1))
+        return np.concatenate(out, axis=0) if out else np.zeros((0, 2))
+
+    cand = hex_lattice(h_lattice)
     if jitter and cand.size:
         rng = np.random.default_rng(seed)
-        cand = cand + jitter * h * rng.uniform(-0.5, 0.5, cand.shape)
+        cand = cand + jitter * h_lattice * rng.uniform(-0.5, 0.5, cand.shape)
     if cand.size:
         cand = cand[_inside_domain(loops, cand)]
+    if size_field is not None and cand.size:
+        sf = lambda q: np.clip(  # noqa: E731
+            np.asarray(size_field(np.asarray(q)), float), h_lattice, None)
+        cand = _graded_points(cand, sf, h)
+    if cand.size:
+        local_h = (np.full(cand.shape[0], h) if size_field is None
+                   else np.minimum(sf(cand), h))
         guard = cKDTree(_boundary_samples(loops, h / 2.0))
         d, _ = guard.query(cand, k=1)
-        cand = cand[d >= 0.62 * h]
+        cand = cand[d >= 0.62 * local_h]
 
     nb = bpts.shape[0]
 

@@ -112,3 +112,51 @@ def test_reference_edp_scripts_mesh_and_solve():
     y = np.asarray(p.getFRFunction()(np.array([100.0, 200.0]),
                                      np.asarray(p.parameters)))
     assert np.all(np.isfinite(y)) and np.all(y > 0)
+
+
+def test_size_field_grading():
+    """build_mesh honors a spatially varying size field (the adaptmesh
+    point-distribution machinery): elements near the clamped edge come out
+    ~3x smaller than at the far end."""
+    Lx, Ly = 100e-3, 20e-3
+    loop = chain(
+        border(lambda t: (0 * t, Ly / 2 - t * Ly), 0, 1, 8),
+        border(lambda t: (Lx * t, -Ly / 2 + 0 * t), 0, 1, 40),
+        border(lambda t: (Lx + 0 * t, -Ly / 2 + t * Ly), 0, 1, 8, label=1),
+        border(lambda t: ((1 - t) * Lx, Ly / 2 + 0 * t), 0, 1, 40))
+    sf = lambda q: 0.5e-3 + 2.5e-3 * (1 - q[:, 0] / Lx)  # noqa: E731
+    m = build_mesh([loop], size_field=sf, h_min=0.5e-3, smooth=3)
+    el = m.edge_lengths()
+    mid = 0.5 * (m.nodes[m.edges[:, 0]] + m.nodes[m.edges[:, 1]])
+    near = el[mid[:, 0] > 0.9 * Lx].mean()
+    far = el[mid[:, 0] < 0.1 * Lx].mean()
+    assert far / near > 2.5
+    assert m.areas().min() > 0
+
+
+def test_adapted_mesh_concentrates_on_solution_feature():
+    """adapted_mesh (the adaptmesh counterpart) shrinks elements where the
+    recovered second derivative of a nodal field is large."""
+    from plate_inverse_problem_tpu.mesh.adapt import adapted_mesh
+
+    Lx, Ly = 100e-3, 20e-3
+    loop = chain(
+        border(lambda t: (0 * t, Ly / 2 - t * Ly), 0, 1, 10),
+        border(lambda t: (Lx * t, -Ly / 2 + 0 * t), 0, 1, 50),
+        border(lambda t: (Lx + 0 * t, -Ly / 2 + t * Ly), 0, 1, 10, label=1),
+        border(lambda t: ((1 - t) * Lx, Ly / 2 + 0 * t), 0, 1, 50))
+    m0 = build_mesh([loop], smooth=3)
+    x0, w = 30e-3, 6e-3
+    u = np.exp(-((m0.nodes[:, 0] - x0) ** 2 + m0.nodes[:, 1] ** 2) / w ** 2)
+    m1 = adapted_mesh([loop], m0, u, rel_err=0.01)
+    el = m1.edge_lengths()
+    mid = 0.5 * (m1.nodes[m1.edges[:, 0]] + m1.nodes[m1.edges[:, 1]])
+    d = np.hypot(mid[:, 0] - x0, mid[:, 1])
+    near = el[d < w].mean()
+    far = el[(mid[:, 0] > 70e-3)].mean()
+    assert far / near > 1.5, (near, far)
+    # locally refined at the feature vs the uniform mesh, coarser far away
+    el0 = m0.edge_lengths()
+    mid0 = 0.5 * (m0.nodes[m0.edges[:, 0]] + m0.nodes[m0.edges[:, 1]])
+    near0 = el0[np.hypot(mid0[:, 0] - x0, mid0[:, 1]) < w].mean()
+    assert near < near0

@@ -235,7 +235,12 @@ class Problem:
         chunk: int = 16,                # direct-engine frequency chunk
         n_modes: int | None = None,     # optional modal truncation
         f_max: float = 600.0,           # band edge for the mixed engine [Hz]
-        n_refine: int = 12,             # mixed-engine refinement cap (adaptive)
+        n_refine: int = 20,             # mixed-engine Krylov cap (adaptive
+                                        # GMRES dimension, ops/mixed.py)
+        refine_tol: float = 3e-7,       # mixed-engine residual target; the
+                                        # resonance-amplification scaling in
+                                        # ops/mixed.py makes this track the
+                                        # delivered FRF accuracy ~1:1
         precond: str = "dense",         # mixed-engine complement precond:
                                         # 'dense' (f32 inverse, <=20k DOF) or
                                         # 'mg' (O(nnz) multilevel V-cycle)
@@ -244,6 +249,10 @@ class Problem:
         freq_chunk: int | None = None,  # mixed engine: solve the sweep in
                                         # frequency chunks of this size
                                         # (None = auto from the pattern size)
+        operator_layout: str = "auto",  # mixed engine operator application:
+                                        # 'flat' (scatter SpMV), 'band' (RCM
+                                        # block-tridiagonal MXU matmuls), or
+                                        # 'auto' (band above ~8k DOF)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -254,6 +263,7 @@ class Problem:
         self.n_modes = n_modes
         self.f_max = f_max
         self.n_refine = n_refine
+        self.refine_tol = float(refine_tol)
         if precond not in ("dense", "mg"):
             raise ValueError(
                 f"Unknown precond {precond!r}; valid options: 'dense', 'mg'."
@@ -261,6 +271,12 @@ class Problem:
         self.precond = precond
         self.mg_coarse_max = int(mg_coarse_max)
         self.freq_chunk = freq_chunk
+        if operator_layout not in ("auto", "flat", "band"):
+            raise ValueError(
+                f"Unknown operator_layout {operator_layout!r}; valid "
+                "options: 'auto', 'flat', 'band'."
+            )
+        self.operator_layout = operator_layout
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -695,7 +711,8 @@ class Problem:
         # Auto policy: ~4 GB of live f64 contributions assuming a few
         # buffers in flight; no chunking for small patterns.
         # scalar-loss materials have K_im = beta*K_re exactly: the sweep
-        # can skip the imaginary-stiffness SpMVs (ops.mixed._residual_prop64)
+        # can skip the imaginary-stiffness matvecs
+        # (ops.mixed._residual_scalar_loss)
         ki_prop = bool(self.material.scalar_loss_factor)
 
         freq_chunk = self.freq_chunk
@@ -709,25 +726,67 @@ class Problem:
             if "mg_arrays" not in od:
                 return {}
             return {
-                "mg": {"arrays": od["mg_arrays"], "static": self._mg_static},
+                "mg": {"arrays": od["mg_arrays"], "static": self._mg_static,
+                       "band0": od.get("mg_band0"),
+                       "layout": self._band_layout},
                 "K_ref64": od["Kref64"],
             }
+
+        def _band_kwargs(od):
+            if self._band_layout is None:
+                return {}
+            return {"band": {"layout": self._band_layout,
+                             "lin": od["band_lin"], "M64": od["Mband64"]}}
+
+        # RCM block-tridiagonal layout (ops/band.py): relabel the free DOFs
+        # once, here, so the whole engine — pattern indices, band basis,
+        # readout vectors, MG hierarchy — lives in the reordered space and
+        # the hot loop replaces scatter SpMV with MXU batched matmuls.
+        # Below ~8k DOF the dense-GEMM preconditioner dominates anyway and
+        # the (nb, 3, b, b) block tensor would waste memory on tiny blocks.
+        use_band = (self.operator_layout == "band"
+                    or (self.operator_layout == "auto" and n >= 8192))
+        if use_band:
+            from ..ops.band import (
+                build_band_layout, flat_to_band_host, permute_pattern,
+                permute_vector,
+            )
+
+            layout = build_band_layout(op.pattern.rows, op.pattern.cols, n)
+            rows_h, cols_h = permute_pattern(layout, op.pattern.rows,
+                                             op.pattern.cols)
+
+            def pvec(v, axis=-1):
+                return permute_vector(layout, v, axis=axis)
+        else:
+            layout = None
+            rows_h, cols_h = op.pattern.rows, op.pattern.cols
+
+            def pvec(v, axis=-1):
+                return v
+        self._band_layout = layout
 
         K_ref_eq = K_ref * ss
         M_eq = self.MInertia * ss
         om_max = 2.0 * np.pi * self.f_max
         W64, _ = band_basis_host(
-            K_ref_eq, M_eq, op.pattern.rows, op.pattern.cols, n,
+            K_ref_eq, M_eq, rows_h, cols_h, n,
             omega_max=om_max,
         )
 
         base = {
-            "rows": jnp.asarray(op.pattern.rows),
-            "cols": jnp.asarray(op.pattern.cols),
+            "rows": jnp.asarray(rows_h),
+            "cols": jnp.asarray(cols_h),
             "MIn": jnp.asarray(M_eq, jnp.float64),
-            "fIn": jnp.asarray(self.fInertia * scale_vec, jnp.float64),
+            "fIn": jnp.asarray(pvec(self.fInertia * scale_vec), jnp.float64),
             "W64": jnp.asarray(W64, jnp.float64),
         }
+        if layout is not None:
+            base |= {
+                "band_lin": jnp.asarray(layout.lin),
+                "Mband64": jnp.asarray(flat_to_band_host(M_eq, layout),
+                                       jnp.float64),
+            }
 
         if self.precond == "mg":
             # O(nnz) multilevel complement preconditioner (100k-DOF path):
@@ -767,19 +826,29 @@ class Problem:
                     three_field=three_field,
                 ))
                 fine = cp
+            if layout is not None:
+                # the finest prolongation's row space is the fine free-DOF
+                # set — relabel it into the RCM ordering (coarse levels
+                # keep their own internal numbering)
+                Ps[0] = Ps[0][layout.perm, :].tocsr()
             mg_arrays, mg_static = build_multilevel_host(
-                K_ref_eq, op.pattern.rows, op.pattern.cols, n, Ps,
-                row_scale=scale_vec,
+                K_ref_eq, rows_h, cols_h, n, Ps,
+                row_scale=pvec(scale_vec),
             )
             base |= {
                 "invK32": jnp.zeros((1, 1), jnp.float32),  # unused dummy
                 "Kref64": jnp.asarray(K_ref_eq, jnp.float64),
                 "mg_arrays": jax.tree_util.tree_map(jnp.asarray, mg_arrays),
             }
+            if layout is not None:
+                # static f32 band form of the reference stiffness for the
+                # cycle's level-0 matvecs (theta-independent)
+                base["mg_band0"] = jnp.asarray(
+                    flat_to_band_host(K_ref_eq, layout), jnp.float32)
             self._mg_static = mg_static
         else:
             invK32 = static_preconditioner_host(
-                K_ref_eq, op.pattern.rows, op.pattern.cols, n
+                K_ref_eq, rows_h, cols_h, n
             )
             base["invK32"] = jnp.asarray(invK32, jnp.float32)
 
@@ -787,8 +856,10 @@ class Problem:
             transform = self.material.get_D_transform(h)
             opdata = base | {
                 "Ks": jnp.asarray(op.Ks * ss[None, :], jnp.float64),
-                "fKs": jnp.asarray(op.fKs * scale_vec[None, :], jnp.float64),
-                "c": jnp.asarray(op.interpolation_vector * scale_vec, jnp.float64),
+                "fKs": jnp.asarray(pvec(op.fKs * scale_vec[None, :]),
+                                   jnp.float64),
+                "c": jnp.asarray(pvec(op.interpolation_vector * scale_vec),
+                                 jnp.float64),
                 "c0": jnp.asarray(op.interpolation_value_from_bc, jnp.float64),
             }
 
@@ -808,8 +879,10 @@ class Problem:
                 U_re, U_im = mixed_sweep(
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                    n_refine=n_refine, freq_chunk=freq_chunk,
+                    n_refine=n_refine, refine_tol=self.refine_tol,
+                    freq_chunk=freq_chunk,
                     ki_proportional=ki_prop, **_mg_kwargs(od),
+                    **_band_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -839,14 +912,14 @@ class Problem:
                 op.mat_stack(["B" + s for s in MODULI_INDICES]),
                 op.mat_stack(["D" + s for s in MODULI_INDICES]),
             ]) * ss[None, None, :], jnp.float64),
-            "fABD": jnp.asarray(np.stack([
+            "fABD": jnp.asarray(pvec(np.stack([
                 op.lift_stack(["A" + s for s in MODULI_INDICES]),
                 op.lift_stack(["B" + s for s in MODULI_INDICES]),
                 op.lift_stack(["D" + s for s in MODULI_INDICES]),
-            ]) * scale_vec[None, None, :], jnp.float64),
-            "ru": jnp.asarray((cu - eff * cwx) * scale_vec, jnp.float64),
-            "rv": jnp.asarray((cv - eff * cwy) * scale_vec, jnp.float64),
-            "rw": jnp.asarray(cw * scale_vec, jnp.float64),
+            ]) * scale_vec[None, None, :]), jnp.float64),
+            "ru": jnp.asarray(pvec((cu - eff * cwx) * scale_vec), jnp.float64),
+            "rv": jnp.asarray(pvec((cv - eff * cwy) * scale_vec), jnp.float64),
+            "rw": jnp.asarray(pvec(cw * scale_vec), jnp.float64),
             "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], jnp.float64),
         }
 
@@ -867,8 +940,10 @@ class Problem:
             U_re, U_im = mixed_sweep(
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
-                n_refine=n_refine, freq_chunk=freq_chunk,
+                n_refine=n_refine, refine_tol=self.refine_tol,
+                freq_chunk=freq_chunk,
                 ki_proportional=ki_prop, **_mg_kwargs(od),
+                **_band_kwargs(od),
             )
 
             def mag2(rvec, r0):

@@ -218,7 +218,8 @@ def _chebyshev_smooth(mg, K_mv, r, e0=None, steps: int = 3,
 
 
 def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
-                     smooth_steps: int = 3, w_cycle: bool = True):
+                     smooth_steps: int = 3, w_cycle: bool = True,
+                     band0=None, layout=None):
     """One symmetric multigrid cycle: Chebyshev pre-smooth, recursive coarse
     correction, Chebyshev post-smooth at every level.  Pure flat-pattern
     ops + one small GEMM at the coarsest level — device friendly, O(nnz)
@@ -230,6 +231,11 @@ def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
     (a W-cycle): on the 2D plate hierarchy the coarse work shrinks ~4x per
     level, so the extra visits cost ~25% while holding the multilevel rate
     near the two-grid rate (measured: 0.49 V vs ~0.3 W at three levels).
+
+    ``band0``/``layout``: optional RCM block-tridiagonal f32 form of the
+    fine operator (ops/band.py) — replaces the level-0 scatter SpMV with
+    MXU batched matmuls (6x measured at n=82k); the caller's pattern and
+    residuals must already live in the layout's RCM ordering.
     """
     levels = arrays["levels"]
     lmaxs = static["lmax"]
@@ -239,6 +245,10 @@ def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
 
     def level_mv(l):
         if l == 0:
+            if band0 is not None:
+                from .band import band_mv
+
+                return lambda x: band_mv(band0, x, layout)
             Kf, rws, cls = K032, rows0, cols0
         else:
             lv = levels[l]

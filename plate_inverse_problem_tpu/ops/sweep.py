@@ -146,7 +146,7 @@ def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
     solve is the same solve — the counterpart of the reference's f64
     UMFPACK guarantee, InnerState.h:164-308).
     """
-    from .mixed import _residual_f64
+    from .mixed import _residual_general
 
     K_flat = jnp.asarray(K_flat)
     freq_dep = K_flat.ndim == 2
@@ -181,9 +181,11 @@ def direct_sweep(K_flat, M_flat, B, omegas, rows, cols, n: int,
                 u_re = jnp.real(u).astype(jnp.float64)
                 u_im = jnp.imag(u).astype(jnp.float64)
                 for _ in range(refine_steps):
-                    r_re, r_im = _residual_f64(
-                        Kr64, Ki64, Ms64, om64 * om64, b_re, b_im,
-                        u_re, u_im, rows, cols, n)
+                    r_re, r_im = _residual_general(
+                        lambda x: spmv_flat(Kr64, rows, cols, x, n),
+                        lambda x: spmv_flat(Ki64, rows, cols, x, n),
+                        lambda x: spmv_flat(Ms64, rows, cols, x, n),
+                        1.0, om64 * om64, b_re, b_im, u_re, u_im)
                     d = jax.scipy.linalg.lu_solve(
                         (lu, piv),
                         (r_re + 1j * r_im).astype(cdt))

@@ -274,13 +274,15 @@ def test_direct_sweep_x32_refinement_matches_f64_oracle(plate_system):
 
 def test_band_edge_accuracy_cliff(plate_system):
     """Quantifies the mixed engine's accuracy vs the band edge (the
-    round-1 review asked for numbers instead of a warning): with a
-    deliberately tight 6-mode band, the deflated-Richardson solve is
-    ~1e-5 at 0.95x the band-edge frequency and unusable 10% above it —
-    exactly the regime Problem._check_band guards with its f_max
-    RuntimeWarning.  (With default settings the band covers
-    margin * f_max with >= 16 modes, and accuracy holds far beyond
-    f_max itself.)"""
+    round-1 review asked for numbers instead of a warning).  With the
+    round-1 stationary (deflated-Richardson) refinement, sweeping past
+    the band edge DIVERGED (>1e-1 error at 1.5x the edge) — the
+    indefinite directions above the band had Richardson gain > 1.  The
+    FGMRES refinement (ops/mixed._pgmres) removed that cliff: a Krylov
+    method handles the indefinite complement, so even a deliberately
+    tight 6-mode band stays accurate 50% past its edge.  f_max /
+    Problem._check_band now only guard preconditioner QUALITY (iteration
+    count), not correctness."""
     from plate_inverse_problem_tpu.ops.mixed import (
         band_basis_host, static_preconditioner_host, mixed_sweep)
 
@@ -309,4 +311,35 @@ def test_band_edge_accuracy_cliff(plate_system):
 
     assert solve_rel(0.8) < 1e-6
     assert solve_rel(0.95) < 1e-4
-    assert solve_rel(1.5) > 1e-1     # past the edge the iteration diverges
+    assert solve_rel(1.5) < 1e-4     # past the edge FGMRES still converges
+                                     # (the round-1 engine diverged here)
+
+
+def test_perturbed_theta_resonance_stability():
+    """Round-2 regression: at theta 10-20% off the reference (the inverse
+    problem's operating regime) the round-1 stationary refinement DIVERGED
+    at resonances the sweep passes above (64% FRF error, growing with
+    iteration count) — the Ritz-leakage band/complement coupling is
+    amplified by the near-resonant resolvent.  FGMRES must stay at the
+    engine's accuracy class for every single-axis and combined
+    perturbation."""
+    import plate_inverse_problem_tpu as pip
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    geom = pip.Geometry("symm", acc,
+                        pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None),
+                        ny=2)
+    freqs = np.linspace(60, 400, 7)
+    pd = pip.Problem(geom, mat, acc, engine="direct")
+    th = np.asarray(pd.parameters)
+    pm = pip.Problem(geom, mat, acc, engine="mixed")
+    frd = pd.getFRFunction()
+    frm = pm.getFRFunction()
+    for scale in ([1.1, 1, 1], [1, 0.95, 1], [1, 1, 1.2], [1.1, 0.95, 1.2]):
+        t = th * np.asarray(scale, float)
+        yd = np.asarray(frd(freqs, t))
+        ym = np.asarray(frm(freqs, t))
+        rel = np.max(np.abs(ym - yd) / np.abs(yd))
+        assert rel < 1e-5, (scale, rel)  # engine accuracy class at the
+        # default refine_tol; the round-1 engine hit 6.4e-1 here

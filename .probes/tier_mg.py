@@ -12,12 +12,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/pip_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import plate_inverse_problem_tpu as pip
+if os.environ.get("PRECOND_REFINE"):
+    import plate_inverse_problem_tpu.ops.mixed as _M2
+    _M2._PRECOND_REFINE = int(os.environ["PRECOND_REFINE"])
+if os.environ.get("DEBUG_GMRES"):
+    import plate_inverse_problem_tpu.ops.mixed as _M
+    _M._DEBUG_TRACE = True
 
 refine = float(os.environ.get("REFINE", "4"))
 precond = os.environ.get("PRECOND", "mg")
 F = int(os.environ.get("NFREQ", "512"))
 do_gn = os.environ.get("GN", "1") == "1"
 do_oracle = os.environ.get("ORACLE", "0") == "1"
+chunk_env = os.environ.get("CHUNK")
 
 acc = pip.Accelerometer("AP1030")
 mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
@@ -26,7 +33,9 @@ t0 = time.time()
 geom = pip.Geometry("sh_i", acc,
                     pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
                     refine=refine)
-p = pip.Problem(geom, mat, acc, engine="mixed", precond=precond, f_max=600.0)
+p = pip.Problem(geom, mat, acc, engine="mixed", precond=precond, f_max=600.0,
+                freq_chunk=None if chunk_env is None else int(chunk_env),
+                refine_tol=float(os.environ.get("REFINE_TOL", "3e-7")))
 t1 = time.time()
 print(f"init {t1-t0:.1f}s n_free={p.n_free} nnz={p.op.pattern.nnz}", flush=True)
 core, od = p.getFRCore()

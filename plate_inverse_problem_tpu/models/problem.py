@@ -851,6 +851,7 @@ class Problem:
                 K_ref_eq, rows_h, cols_h, n
             )
             base["invK32"] = jnp.asarray(invK32, jnp.float32)
+            base["Kref32"] = jnp.asarray(K_ref_eq, jnp.float32)
 
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)
@@ -881,8 +882,8 @@ class Problem:
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
                     n_refine=n_refine, refine_tol=self.refine_tol,
                     freq_chunk=freq_chunk,
-                    ki_proportional=ki_prop, **_mg_kwargs(od),
-                    **_band_kwargs(od),
+                    ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
+                    **_mg_kwargs(od), **_band_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -942,8 +943,8 @@ class Problem:
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
                 n_refine=n_refine, refine_tol=self.refine_tol,
                 freq_chunk=freq_chunk,
-                ki_proportional=ki_prop, **_mg_kwargs(od),
-                **_band_kwargs(od),
+                ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
+                **_mg_kwargs(od), **_band_kwargs(od),
             )
 
             def mag2(rvec, r0):

@@ -248,7 +248,10 @@ def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
             if band0 is not None:
                 from .band import band_mv
 
-                return lambda x: band_mv(band0, x, layout)
+                # DEFAULT precision: preconditioner arithmetic (see
+                # ops/mixed.precond) — bf16 multiplies, f32 accumulate
+                return lambda x: band_mv(band0, x, layout,
+                                         precision=jax.lax.Precision.DEFAULT)
             Kf, rws, cls = K032, rows0, cols0
         else:
             lv = levels[l]

@@ -166,6 +166,11 @@ def _residual_general(K_mv, Ki_mv, M_mv, sign, om2_64, b_re, b_im,
 # complex Givens rotations — pure scalar f64 arithmetic.
 
 _DEBUG_TRACE = False  # print per-iteration GMRES residuals (diagnostics)
+_PRECOND_REFINE = 3   # f32 refinement rounds inside the dense preconditioner
+                      # (measured on-chip at n=5428/512-pt sweep:
+                      #  0 -> 72, 1 -> 114, 2 -> 132, 3 -> 159, 4 -> 156
+                      #  solves/s/chip — each round squares down the
+                      #  eps32*kappa error of the f32 inverse)
 
 
 def _cmul(a, b):
@@ -366,7 +371,7 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int):
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 16, refine_tol: float = 3e-7,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
-                ki_proportional: bool = False, band=None):
+                ki_proportional: bool = False, band=None, K_ref32=None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -494,10 +499,29 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                                     rows, cols, x64,
                                     band0=mg_band0, layout=mg_layout)
     else:
+        def apply_inv(x32):
+            # HIGHEST precision is a measured choice: bf16 multiplies
+            # degrade the preconditioner just enough to cost extra GMRES
+            # iterations, and with vmapped frequency lanes every lane pays
+            # the worst lane's count — the 6-pass f32 GEMM is cheaper than
+            # the iterations it saves (A/B: 7.1 s vs 13.8 s per 512-pt
+            # sweep at n=5428)
+            return jnp.einsum("ij,...j->...i", invK32, x32)
+
         def precond(x64):
-            # batched (..., n) application of the dense f32 inverse
-            y32 = jnp.einsum("ij,...j->...i", invK32,
-                             x64.astype(jnp.float32))
+            # batched (..., n) application of the dense f32 inverse, with
+            # one round of f32 iterative refinement when the reference
+            # stiffness is supplied: the f32 inverse carries error
+            # ~eps32*kappa(K~) ~ 0.2-0.3 on the equilibrated operator
+            # (kappa ~ 1e6), capping GMRES at ~0.6 digits/iteration; the
+            # refinement squares that error for one extra GEMM + one f32
+            # SpMV — measured ~2x fewer iterations
+            x32 = x64.astype(jnp.float32)
+            y32 = apply_inv(x32)
+            if K_ref32 is not None:
+                for _ in range(_PRECOND_REFINE):
+                    r32 = x32 - spmv_flat(K_ref32, rows, cols, y32, n)
+                    y32 = y32 + apply_inv(r32)
             return y32.astype(jnp.float64)
 
     def one(om, b_re_in, b_im_in):
@@ -615,5 +639,19 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     # unchunked r+J graph fails to compile at 21k, the chunked one compiles
     # in ~2 min).  lax.map applies ``one`` per frequency and vmaps
     # internally over batch_size-sized chunks (scan across chunks).
-    return jax.lax.map(lambda a: one(*a), (om64, Br64, Bi64),
-                       batch_size=int(freq_chunk))
+    #
+    # The chunks are DIFFICULTY-SORTED first: inside a chunk every vmapped
+    # lane pays the worst lane's GMRES iteration count, so grouping
+    # frequencies by their band-computable resonance amplification lets
+    # smooth chunks exit after ~2 iterations while only the near-resonant
+    # chunk iterates deep (the in-graph argsort costs two tiny gathers).
+    den_f = jnp.sqrt((lam_w[None, :] - (om64 ** 2)[:, None]) ** 2
+                     + (beta64 * lam_w[None, :]) ** 2)
+    amp_f = jnp.max(lam_w[None, :] / den_f, axis=1)
+    order = jnp.argsort(amp_f)
+    inv_order = jnp.argsort(order)
+    U_re, U_im = jax.lax.map(
+        lambda a: one(*a),
+        (om64[order], Br64[order], Bi64[order]),
+        batch_size=int(freq_chunk))
+    return U_re[inv_order], U_im[inv_order]

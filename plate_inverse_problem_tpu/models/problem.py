@@ -244,8 +244,17 @@ class Problem:
         precond: str = "dense",         # mixed-engine complement precond:
                                         # 'dense' (f32 inverse, <=20k DOF) or
                                         # 'mg' (O(nnz) multilevel V-cycle)
-        mg_coarse_max: int = 3000,      # mg: coarsen until n_free <= this,
+        mg_coarse_max: int = 11500,     # mg: coarsen until n_free <= this,
                                         # then invert the coarsest densely
+                                        # ON DEVICE.  The default makes the
+                                        # 100k-DOF tier a TWO-GRID scheme
+                                        # (fine smoothing + one ~11k exact
+                                        # coarse inverse): the exact coarse
+                                        # solve buys far more GMRES
+                                        # contraction than deeper recursion,
+                                        # and ~11k is the largest f32 LU the
+                                        # TPU's VMEM panel limit allows in
+                                        # one shot (fails at ~16k+)
         freq_chunk: int | None = None,  # mixed engine: solve the sweep in
                                         # frequency chunks of this size
                                         # (None = auto from the pattern size)
@@ -717,8 +726,13 @@ class Problem:
 
         freq_chunk = self.freq_chunk
         if freq_chunk is None and op.pattern.nnz > 300_000:
-            freq_chunk = int(max(
-                8, 2 ** np.floor(np.log2(4e9 / (32.0 * op.pattern.nnz)))))
+            # per-lane memory is dominated by the FGMRES V/Z bases:
+            # ~(4 k_max + 6) n-vectors of f64 per frequency lane; budget
+            # ~1.5 GB of live bases per chunk (the AOT compiler's
+            # conservative liveness estimate roughly doubles it)
+            per_lane = (4.0 * self.n_refine + 6.0) * n * 8.0
+            freq_chunk = int(np.clip(
+                2 ** np.floor(np.log2(max(7.5e8 / per_lane, 4.0))), 4, 64))
 
         def _mg_kwargs(od):
             # reads _mg_static at trace time (set further down in this
@@ -748,7 +762,7 @@ class Problem:
                     or (self.operator_layout == "auto" and n >= 8192))
         if use_band:
             from ..ops.band import (
-                build_band_layout, flat_to_band_host, permute_pattern,
+                build_band_layout, flat_to_band, permute_pattern,
                 permute_vector,
             )
 
@@ -782,10 +796,15 @@ class Problem:
             "W64": jnp.asarray(W64, jnp.float64),
         }
         if layout is not None:
+            # the block tensors are built ON DEVICE from the flat data (a
+            # ~16 MB transfer + one device scatter) — shipping the 1 GB
+            # host-built tensor through the tunneled TPU transport was the
+            # dominant Problem-build cost (minutes at ~15 MB/s)
+            lin_dev = jnp.asarray(layout.lin)
             base |= {
-                "band_lin": jnp.asarray(layout.lin),
-                "Mband64": jnp.asarray(flat_to_band_host(M_eq, layout),
-                                       jnp.float64),
+                "band_lin": lin_dev,
+                "Mband64": flat_to_band(jnp.asarray(M_eq, jnp.float64),
+                                        layout, lin_dev),
             }
 
         if self.precond == "mg":
@@ -797,7 +816,12 @@ class Problem:
             three_field = not self.is_symmetric_path
             chain = []
             fine = self
-            factor = 2.0
+            # aim the FIRST coarsening directly at the dense-invertible
+            # size (n scales ~ factor^-2): one exact coarse level beats a
+            # deeper chain of approximate ones, and the preconditioner
+            # refinement rounds (ops/mixed) absorb the slightly weaker
+            # smoothing of an aggressive coarsening ratio
+            factor = max(2.0, float(np.sqrt(n / (0.62 * self.mg_coarse_max))))
             # always at least one coarse level; recurse until the coarsest
             # is small enough to invert densely
             while ((not chain or fine.n_free > self.mg_coarse_max)
@@ -833,8 +857,27 @@ class Problem:
                 Ps[0] = Ps[0][layout.perm, :].tocsr()
             mg_arrays, mg_static = build_multilevel_host(
                 K_ref_eq, rows_h, cols_h, n, Ps,
-                row_scale=pvec(scale_vec),
+                row_scale=pvec(scale_vec), invert_coarse=False,
             )
+            # invert the coarsest level ON DEVICE: f32 LU at MXU speed with
+            # a constant-time compile, and only the sparse Galerkin data
+            # crosses the (slow, tunneled) host->device transport.  The f32
+            # factorization quality matches a host f64-inverse-then-round
+            # to O(eps32 * kappa) — which the preconditioner refinement
+            # rounds square away either way (ops/mixed.precond).
+            from ..ops.dense import inv_blocked
+            from ..ops.scatter import to_dense as _to_dense
+
+            Kc = mg_arrays.pop("Kc_coo")
+            nc = int(Kc["n"])
+            # one jitted program: XLA plans the liveness of the blocked
+            # inversion's GB-scale intermediates instead of the eager
+            # dispatcher keeping every one alive (measured HBM OOM)
+            inv_fn = jax.jit(
+                lambda d, r, c: inv_blocked(_to_dense(d, r, c, nc)))
+            mg_arrays["Kc_inv32"] = inv_fn(
+                jnp.asarray(Kc["data"], jnp.float32),
+                jnp.asarray(Kc["rows"]), jnp.asarray(Kc["cols"]))
             base |= {
                 "invK32": jnp.zeros((1, 1), jnp.float32),  # unused dummy
                 "Kref64": jnp.asarray(K_ref_eq, jnp.float64),
@@ -842,16 +885,25 @@ class Problem:
             }
             if layout is not None:
                 # static f32 band form of the reference stiffness for the
-                # cycle's level-0 matvecs (theta-independent)
-                base["mg_band0"] = jnp.asarray(
-                    flat_to_band_host(K_ref_eq, layout), jnp.float32)
+                # cycle's level-0 matvecs (theta-independent, device-built)
+                base["mg_band0"] = flat_to_band(
+                    jnp.asarray(K_ref_eq, jnp.float32), layout, lin_dev)
             self._mg_static = mg_static
         else:
-            invK32 = static_preconditioner_host(
-                K_ref_eq, rows_h, cols_h, n
-            )
-            base["invK32"] = jnp.asarray(invK32, jnp.float32)
-            base["Kref32"] = jnp.asarray(K_ref_eq, jnp.float32)
+            # dense inverse computed ON DEVICE (f32 LU): skips both the
+            # host O(n^3) build and the n^2 transfer through the tunneled
+            # transport; quality difference vs the host f64 build is
+            # O(eps32 * kappa) either way and absorbed by the refinement
+            # rounds (ops/mixed.precond)
+            from ..ops.dense import inv_blocked
+            from ..ops.scatter import to_dense as _to_dense
+
+            Kref32 = jnp.asarray(K_ref_eq, jnp.float32)
+            inv_fn = jax.jit(
+                lambda d, r, c: inv_blocked(_to_dense(d, r, c, n)))
+            base["invK32"] = inv_fn(Kref32, jnp.asarray(rows_h),
+                                    jnp.asarray(cols_h))
+            base["Kref32"] = Kref32
 
         if self.is_symmetric_path:
             transform = self.material.get_D_transform(h)

@@ -27,9 +27,11 @@ for a systolic-array machine instead of a cache-hierarchy CPU.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -85,19 +87,25 @@ def build_band_layout(rows, cols, n: int, block_multiple: int = 128,
                       lin=lin.astype(idt))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _scatter_band(vals, lin, nb: int, b: int):
+    lead = vals.shape[:-1]
+    flat = jnp.zeros(lead + (nb * 3 * b * b,), vals.dtype)
+    return flat.at[..., lin].add(vals).reshape(lead + (nb, 3, b, b))
+
+
 def flat_to_band(vals, layout: BandLayout, lin=None):
     """Scatter flat pattern data (possibly stacked (..., nnz)) into the
     (..., nb, 3, b, b) block tensor.  Linear — JVP/VJP are the same scatter
     and its transpose-gather, so AD through the operator values is exact.
 
     ``lin`` lets callers pass the index array as a device-resident jit
-    argument (recommended — see CLAUDE.md on closure constants)."""
+    argument (recommended — see CLAUDE.md on closure constants).  The
+    scatter is jitted so an EAGER build (the Problem-construction path)
+    runs as one program — the zeros + scatter pair would otherwise hold
+    two GB-scale transients alive on the accelerator."""
     lin = layout.lin if lin is None else lin
-    nb, b = layout.nb, layout.b
-    lead = vals.shape[:-1]
-    flat = jnp.zeros(lead + (nb * 3 * b * b,), vals.dtype)
-    out = flat.at[..., lin].add(vals)
-    return out.reshape(lead + (nb, 3, b, b))
+    return _scatter_band(vals, jnp.asarray(lin), layout.nb, layout.b)
 
 
 def flat_to_band_host(vals, layout: BandLayout) -> np.ndarray:

@@ -55,20 +55,17 @@ def build_prolongation(fine_mesh, coarse_mesh, fine_free_idx, coarse_free_idx,
     w_off_f = 2 * Vf if three_field else 0
     w_off_c = 2 * Vc if three_field else 0
 
-    rows, cols, vals = [], [], []
-
-    def add(r, c, v):
-        rows.append(r)
-        cols.append(c)
-        vals.append(v)
+    # all blocks assembled with bulk numpy (a Python per-DOF loop here cost
+    # ~10 minutes of the 100k-tier host prep)
+    rows_l, cols_l, vals_l = [], [], []
+    dofs_c_w = mdc["dofs"]  # (Tc, 6) in w-local numbering
 
     # ---- w vertex DOFs: coarse Morley value at fine nodes -----------------
     tri_v, _ = locate_points(coarse_mesh, fine_mesh.nodes)
     phi_v, _ = morley_point_eval(mdc, tri_v, fine_mesh.nodes)
-    dofs_c_w = mdc["dofs"]  # (Tc, 6) in w-local numbering
-    for i in range(Vf):
-        for a in range(6):
-            add(w_off_f + i, w_off_c + dofs_c_w[tri_v[i], a], phi_v[i, a])
+    rows_l.append(np.repeat(w_off_f + np.arange(Vf), 6))
+    cols_l.append((w_off_c + dofs_c_w[tri_v]).ravel())
+    vals_l.append(phi_v.ravel())
 
     # ---- w edge DOFs: coarse Morley normal derivative at fine edge mids ---
     ea = fine_mesh.nodes[fine_mesh.edges[:, 0]]
@@ -80,21 +77,24 @@ def build_prolongation(fine_mesh, coarse_mesh, fine_free_idx, coarse_free_idx,
     tri_e, _ = locate_points(coarse_mesh, mids)
     _, grads_e = morley_point_eval(mdc, tri_e, mids)
     dn = np.einsum("pjd,pd->pj", grads_e, nrm)  # (Ef, 6)
-    for e in range(Ef):
-        for a in range(6):
-            add(w_off_f + Vf + e, w_off_c + dofs_c_w[tri_e[e], a], dn[e, a])
+    rows_l.append(np.repeat(w_off_f + Vf + np.arange(Ef), 6))
+    cols_l.append((w_off_c + dofs_c_w[tri_e]).ravel())
+    vals_l.append(dn.ravel())
 
     # ---- membrane u, v: coarse P1 at fine nodes ----------------------------
     if three_field:
         tri_p, bary_p = locate_points(coarse_mesh, fine_mesh.nodes)
-        for i in range(Vf):
-            for a in range(3):
-                c_vert = coarse_mesh.triangles[tri_p[i], a]
-                add(i, c_vert, bary_p[i, a])              # u block
-                add(Vf + i, Vc + c_vert, bary_p[i, a])    # v block
+        c_verts = coarse_mesh.triangles[tri_p]               # (Vf, 3)
+        rows_l.append(np.repeat(np.arange(Vf), 3))           # u block
+        cols_l.append(c_verts.ravel())
+        vals_l.append(bary_p.ravel())
+        rows_l.append(np.repeat(Vf + np.arange(Vf), 3))      # v block
+        cols_l.append((Vc + c_verts).ravel())
+        vals_l.append(bary_p.ravel())
 
     P_full = sp.csr_matrix(
-        (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+        (np.concatenate(vals_l),
+         (np.concatenate(rows_l), np.concatenate(cols_l))),
         shape=(nf_full, nc_full),
     )
     return P_full[fine_free_idx][:, coarse_free_idx].tocsr()
@@ -131,7 +131,7 @@ def _pin_dead(Kc, P_csr):
 
 
 def build_multilevel_host(K_flat, rows, cols, n: int, P_csr_list,
-                          row_scale=None):
+                          row_scale=None, invert_coarse: bool = True):
     """Host-side data for the multilevel V-cycle on an equilibrated SPD K.
 
     ``P_csr_list``: geometric prolongations finest-first — entry ``l`` maps
@@ -185,9 +185,25 @@ def build_multilevel_host(K_flat, rows, cols, n: int, P_csr_list,
         K = _pin_dead((P.T @ (K @ P)).tocsc(), P)
         K = 0.5 * (K + K.T)
 
-    Kc_inv = np.linalg.inv(K.toarray())
-    arrays = {"levels": tuple(levels),
-              "Kc_inv32": Kc_inv.astype(np.float32)}
+    arrays = {"levels": tuple(levels)}
+    if invert_coarse:
+        # sparse LU + identity solves: no O(n^3) dense work and no f64
+        # dense copy of K on the host
+        import scipy.sparse.linalg as spla
+
+        lu = spla.splu(K.tocsc())
+        Kc_inv = lu.solve(np.eye(K.shape[0]))
+        arrays["Kc_inv32"] = np.ascontiguousarray(Kc_inv.astype(np.float32))
+    else:
+        # hand back the sparse Galerkin coarse operator so the caller can
+        # scatter + invert it ON DEVICE (the coarsest level may be ~20k
+        # rows: shipping its n^2 inverse through a slow host->device
+        # transport costs minutes, the flat data is a few MB)
+        Kcoo = K.tocoo()
+        arrays["Kc_coo"] = {"data": Kcoo.data.astype(np.float32),
+                            "rows": Kcoo.row.astype(np.int32),
+                            "cols": Kcoo.col.astype(np.int32),
+                            "n": K.shape[0]}
     static = {"lmax": tuple(lmaxs), "n": tuple(ns)}
     return arrays, static
 
@@ -218,7 +234,7 @@ def _chebyshev_smooth(mg, K_mv, r, e0=None, steps: int = 3,
 
 
 def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
-                     smooth_steps: int = 3, w_cycle: bool = True,
+                     smooth_steps: int = 3, w_cycle: bool | None = None,
                      band0=None, layout=None):
     """One symmetric multigrid cycle: Chebyshev pre-smooth, recursive coarse
     correction, Chebyshev post-smooth at every level.  Pure flat-pattern
@@ -242,6 +258,11 @@ def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
     ns = static["n"]
     in_dtype = r.dtype
     K032 = K0_flat.astype(jnp.float32)
+    if w_cycle is None:
+        # with a single smoothed level the coarse solve is the EXACT dense
+        # inverse — a second corrective visit would only re-solve the same
+        # system (one wasted GEMM + SpMV per cycle)
+        w_cycle = len(levels) >= 2
 
     def level_mv(l):
         if l == 0:

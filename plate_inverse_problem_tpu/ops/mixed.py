@@ -489,15 +489,34 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     MZ64 = M_mv(Zw64.T).T                              # (n, m) M-weighted
 
     if mg is not None:
+        from .band import band_mv
         from .mg import multilevel_apply
 
         mg_band0 = mg.get("band0")
         mg_layout = mg.get("layout")
 
-        def precond(x64):
+        def cycle(x32):
             return multilevel_apply(mg["arrays"], mg["static"], K_ref64,
-                                    rows, cols, x64,
+                                    rows, cols, x32,
                                     band0=mg_band0, layout=mg_layout)
+
+        def Kref32_mv(x32):
+            if mg_band0 is not None:
+                return band_mv(mg_band0, x32, mg_layout,
+                               precision=jax.lax.Precision.DEFAULT)
+            return spmv_flat(K_ref64.astype(jnp.float32), rows, cols,
+                             x32, n)
+
+        def precond(x64):
+            # f32 refinement rounds around the cycle, same principle as
+            # the dense path below: each round squares the cycle's error
+            # for one extra f32 matvec + cycle
+            x32 = x64.astype(jnp.float32)
+            y32 = cycle(x32)
+            for _ in range(_PRECOND_REFINE):
+                r32 = x32 - Kref32_mv(y32)
+                y32 = y32 + cycle(r32)
+            return y32.astype(jnp.float64)
     else:
         def apply_inv(x32):
             # HIGHEST precision is a measured choice: bf16 multiplies

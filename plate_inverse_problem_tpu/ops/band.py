@@ -81,7 +81,12 @@ def build_band_layout(rows, cols, n: int, block_multiple: int = 128,
     d = cp // b - q + 1
     if d.min() < 0 or d.max() > 2:  # cannot happen for b >= bw
         raise ValueError("pattern is not block-tridiagonal at this block size")
-    lin = ((q * 3 + d) * b + rp % b) * b + cp % b
+    # (q, i_loc, d, j_loc) layout — the tensor is stored (nb, b, 3b), the
+    # exact operand shape of the batched GEMM in band_mv, so XLA never
+    # materializes a relaid-out copy of the GB-scale operator (measured:
+    # several HBM-copies of the band tensor with a (nb, 3, b, b) layout,
+    # one per einsum call site)
+    lin = ((q * b + rp % b) * 3 + d) * b + cp % b
     idt = np.int32 if lin.max() < 2**31 else np.int64
     return BandLayout(n=n, b=b, nb=nb, bandwidth=bw, perm=perm, iperm=iperm,
                       lin=lin.astype(idt))
@@ -91,12 +96,12 @@ def build_band_layout(rows, cols, n: int, block_multiple: int = 128,
 def _scatter_band(vals, lin, nb: int, b: int):
     lead = vals.shape[:-1]
     flat = jnp.zeros(lead + (nb * 3 * b * b,), vals.dtype)
-    return flat.at[..., lin].add(vals).reshape(lead + (nb, 3, b, b))
+    return flat.at[..., lin].add(vals).reshape(lead + (nb, b, 3 * b))
 
 
 def flat_to_band(vals, layout: BandLayout, lin=None):
     """Scatter flat pattern data (possibly stacked (..., nnz)) into the
-    (..., nb, 3, b, b) block tensor.  Linear — JVP/VJP are the same scatter
+    (..., nb, b, 3b) block tensor.  Linear — JVP/VJP are the same scatter
     and its transpose-gather, so AD through the operator values is exact.
 
     ``lin`` lets callers pass the index array as a device-resident jit
@@ -110,28 +115,37 @@ def flat_to_band(vals, layout: BandLayout, lin=None):
 
 def flat_to_band_host(vals, layout: BandLayout) -> np.ndarray:
     """Host (numpy) counterpart of :func:`flat_to_band` for static operator
-    data (mass matrix, reference stiffness) built once per Problem."""
+    data — kept for tests/tools; the Problem path builds on device."""
     nb, b = layout.nb, layout.b
     out = np.zeros(nb * 3 * b * b, dtype=np.asarray(vals).dtype)
     np.add.at(out, layout.lin, np.asarray(vals))
-    return out.reshape(nb, 3, b, b)
+    return out.reshape(nb, b, 3 * b)
 
 
 def band_mv(band, x, layout: BandLayout, precision=None):
-    """y = A x for block-tridiagonal ``band`` (nb, 3, b, b); x (..., n).
+    """y = A x for block-tridiagonal ``band`` (nb, b, 3b); x (..., n).
 
     Pure dense batched matmul over static shapes — every FLOP lands on the
-    MXU.  f64 inputs use XLA's emulated f64 GEMM (exact); f32 inputs run at
-    native MXU speed (callers that only need preconditioner accuracy pass
+    MXU.  The leading dims of x are flattened into ONE batch axis and the
+    contraction is the canonical ``(q,i,c) x (B,q,c)`` batched GEMM, so
+    every call site shares one operand layout of the GB-scale band tensor
+    (distinct layouts made XLA hold one relaid-out copy each).  f64 inputs
+    use XLA's emulated f64 GEMM (exact); f32 inputs run at native MXU
+    speed (callers that only need preconditioner accuracy pass
     ``precision`` to drop below the global 'highest' default)."""
     n, b, nb = layout.n, layout.b, layout.nb
     lead = x.shape[:-1]
-    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, nb * b - n)])
-    xb = xp.reshape(lead + (nb, b))
-    xm = jnp.pad(xb, [(0, 0)] * len(lead) + [(1, 1), (0, 0)])
-    xn = jnp.stack([xm[..., :-2, :], xm[..., 1:-1, :], xm[..., 2:, :]],
-                   axis=-2)  # (..., nb, 3, b)
-    y = jnp.einsum("qdij,...qdj->...qi", band, xn, precision=precision)
+    B = 1
+    for s in lead:
+        B *= s
+    xf = x.reshape((B, n))
+    xp = jnp.pad(xf, ((0, 0), (0, nb * b - n)))
+    xb = xp.reshape(B, nb, b)
+    xm = jnp.pad(xb, ((0, 0), (1, 1), (0, 0)))
+    xn = jnp.stack([xm[:, :-2, :], xm[:, 1:-1, :], xm[:, 2:, :]],
+                   axis=-2)  # (B, nb, 3, b)
+    xn = xn.reshape(B, nb, 3 * b)
+    y = jnp.einsum("qic,Bqc->Bqi", band, xn, precision=precision)
     return y.reshape(lead + (nb * b,))[..., :n]
 
 

@@ -177,7 +177,8 @@ def _cmul(a, b):
     return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
 
 
-def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int):
+def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
+            anchor: bool = True):
     """Flexible (right-preconditioned) GMRES on split-complex f64 pairs.
 
     ``bb``/``x0``: (2, n) stacked re/im.  ``A_apply``/``P_apply``:
@@ -206,11 +207,11 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int):
     Unset basis rows are zero, so the batched projections are naturally
     masked — no index juggling inside the while_loop.
     """
-    f64 = jnp.float64
+    f64 = bb.dtype  # works at f32 too (the inner GMRES-IR solver)
     r0 = bb - A_apply(x0)
     beta0 = jnp.sqrt(jnp.sum(r0 * r0))
     n = bb.shape[-1]
-    tiny = jnp.asarray(1e-300, f64)
+    tiny = jnp.asarray(1e-300 if f64 == jnp.float64 else 1e-30, f64)
 
     V = jnp.zeros((k_max + 1, 2, n), f64).at[0].set(
         r0 / jnp.maximum(beta0, tiny))
@@ -313,11 +314,13 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int):
         # preconditioner resolves in ONE step; the residual left after that
         # step is the solution-relevant scale, so the convergence target is
         # re-anchored there (with a floor so a spectacular first step cannot
-        # set an unreachable target)
-        anchor = jnp.maximum(jnp.sqrt(rn2), 1e-13 * beta0)
-        tol2 = jnp.where(j == 0,
-                         jnp.maximum((tol_rel * anchor) ** 2, tol_abs2),
-                         tol2)
+        # set an unreachable target).  Callers whose rhs IS already a
+        # residual (the GMRES-IR inner solver) disable this.
+        if anchor:
+            anc = jnp.maximum(jnp.sqrt(rn2), 1e-13 * beta0)
+            tol2 = jnp.where(j == 0,
+                             jnp.maximum((tol_rel * anc) ** 2, tol_abs2),
+                             tol2)
         if _DEBUG_TRACE:
             jax.debug.print("gmres j={j} rn={r}", j=j, r=jnp.sqrt(rn2))
         return V, Z, R, g, cs, sn, j + 1, rn2, tol2
@@ -395,7 +398,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
     ``band``: optional RCM block-tridiagonal layout (the MXU operator path,
     ops/band.py): ``{"layout": BandLayout, "lin": device index array,
-    "M64": (nb, 3, b, b) f64 static mass band}``.  The caller must have
+    "M64": (nb, b, 3b) f64 static mass band}``.  The caller must have
     relabeled the pattern (``rows``/``cols``) and every n-vector into the
     layout's RCM ordering (Problem._mixed_core does).  The theta-dependent
     stiffness scatters into the block tensor once per sweep; every hot
@@ -488,6 +491,29 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
     MZ64 = M_mv(Zw64.T).T                              # (n, m) M-weighted
 
+    # ---- f32 shadows for the GMRES-IR inner solver (band mode) ----------
+    # the inner Krylov iteration runs entirely in f32: its operator
+    # applications are ~12x cheaper than the emulated-f64 band GEMMs, and
+    # the outer f64 refinement restores exactness (one exact residual per
+    # restart)
+    if band is not None:
+        Krb32 = Krb.astype(jnp.float32)
+        Mb32 = Mb64.astype(jnp.float32)
+        if not ki_proportional:
+            Kib32 = Kib.astype(jnp.float32)
+
+        def K32_mv(x):
+            return band_mv(Krb32, x, layout)
+
+        def M32_mv(x):
+            return band_mv(Mb32, x, layout)
+
+        if not ki_proportional:
+            def Ki32_mv(x):
+                return band_mv(Kib32, x, layout)
+        Zw32 = Zw64.astype(jnp.float32)
+        MZ32 = MZ64.astype(jnp.float32)
+
     if mg is not None:
         from .band import band_mv
         from .mg import multilevel_apply
@@ -507,16 +533,15 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             return spmv_flat(K_ref64.astype(jnp.float32), rows, cols,
                              x32, n)
 
-        def precond(x64):
+        def precond32(x32):
             # f32 refinement rounds around the cycle, same principle as
             # the dense path below: each round squares the cycle's error
             # for one extra f32 matvec + cycle
-            x32 = x64.astype(jnp.float32)
             y32 = cycle(x32)
             for _ in range(_PRECOND_REFINE):
                 r32 = x32 - Kref32_mv(y32)
                 y32 = y32 + cycle(r32)
-            return y32.astype(jnp.float64)
+            return y32
     else:
         def apply_inv(x32):
             # HIGHEST precision is a measured choice: bf16 multiplies
@@ -527,21 +552,23 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             # sweep at n=5428)
             return jnp.einsum("ij,...j->...i", invK32, x32)
 
-        def precond(x64):
+        def precond32(x32):
             # batched (..., n) application of the dense f32 inverse, with
-            # one round of f32 iterative refinement when the reference
-            # stiffness is supplied: the f32 inverse carries error
+            # f32 iterative-refinement rounds when the reference stiffness
+            # is supplied: the f32 inverse carries error
             # ~eps32*kappa(K~) ~ 0.2-0.3 on the equilibrated operator
-            # (kappa ~ 1e6), capping GMRES at ~0.6 digits/iteration; the
-            # refinement squares that error for one extra GEMM + one f32
+            # (kappa ~ 1e6), capping GMRES at ~0.6 digits/iteration; each
+            # round squares that error for one extra GEMM + one f32
             # SpMV — measured ~2x fewer iterations
-            x32 = x64.astype(jnp.float32)
             y32 = apply_inv(x32)
             if K_ref32 is not None:
                 for _ in range(_PRECOND_REFINE):
                     r32 = x32 - spmv_flat(K_ref32, rows, cols, y32, n)
                     y32 = y32 + apply_inv(r32)
-            return y32.astype(jnp.float64)
+            return y32
+
+    def precond(x64):
+        return precond32(x64.astype(jnp.float32)).astype(jnp.float64)
 
     def one(om, b_re_in, b_im_in):
         om64 = om.astype(jnp.float64)
@@ -585,39 +612,116 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 y_re, y_im = band_solve_f64(rr[0], rr[1])
                 return jnp.stack([y_re, y_im])
 
-            def P_apply(rr):
-                """Band resolvent + deflated complement cycle — the GMRES
+            def P_common(rr, band_part, Pm, Zm, pc):
+                """Band resolvent + deflated complement cycle — the Krylov
                 preconditioner.  The complement correction is M-projected
                 against the Ritz band so band directions are handled solely
                 by the exact resolvent (the preconditioner stays a good
                 approximation of A^-1 near resonances)."""
-                db = band_stack(rr)
-                rc = rr - (MZ64 @ (Zw64.T @ rr.T)).T
-                dc = precond(rc)
-                dc = dc - (dc @ MZ64) @ Zw64.T
+                db = band_part(rr)
+                rc = rr - (Pm @ (Zm.T @ rr.T)).T
+                dc = pc(rc)
+                dc = dc - (dc @ Pm) @ Zm.T
                 return db + dc
+
+            def P_apply(rr):
+                return P_common(rr, band_stack, MZ64, Zw64, precond)
+
+            # amplification-aware residual target: forward error ~
+            # kappa(A) * relative residual, and near a resonance
+            # kappa ~ 1/beta (~300) — tighten by the band-computable
+            # amplification so the FRF accuracy holds AT the peaks while
+            # off-resonance solves stay cheap.  No absolute floor: ||b||
+            # is dominated by a few huge stiffness-lift components whose
+            # f64 evaluation noise sits in stiff (A^-1-small) directions,
+            # so residuals below eps64*||b|| are still productive; the
+            # iteration caps bound any stagnation.
+            den = jnp.sqrt((lam_w - om2) ** 2 + (sb * lam_w) ** 2)
+            amp = jnp.maximum(jnp.max(lam_w / den), 1.0)
+            tol_eff = jnp.maximum(refine_tol / amp, 3e-12)
+
+            if band is None:
+                def slv(mv_, bb):
+                    bb_re, bb_im = bb
+                    bbs = jnp.stack([bb_re, bb_im])
+                    x0 = band_stack(bbs)
+                    u = _pgmres(A_apply, P_apply, bbs, x0, tol_eff, 0.0,
+                                int(n_refine))
+                    return (u[0], u[1])
+
+                return slv
+
+            # ---- band mode: GMRES-IR ---------------------------------
+            # outer f64 iterative refinement around an inner FGMRES run
+            # ENTIRELY in f32 (operator, preconditioner, Krylov bases):
+            # the emulated-f64 band GEMM is ~12x the cost of the f32 one,
+            # so the exact arithmetic is spent only where exactness lives
+            # — one f64 residual per restart.  Textbook GMRES-IR, with
+            # the band resolvent kept in f64 inside the preconditioner
+            # (near-resonant denominators).
+            f32 = jnp.float32
+            om2_32 = om2.astype(f32)
+            sb32 = sb.astype(f32)
+
+            def A32_apply(uu):
+                if ki_proportional:
+                    Ku = K32_mv(uu)
+                    Mu = M32_mv(uu)
+                    return jnp.stack(
+                        [Ku[0] - sb32 * Ku[1] - om2_32 * Mu[0],
+                         Ku[1] + sb32 * Ku[0] - om2_32 * Mu[1]])
+                Ku = K32_mv(uu)
+                Kiu = Ki32_mv(uu)
+                Mu = M32_mv(uu)
+                s32 = jnp.asarray(sign, f32)
+                return jnp.stack(
+                    [Ku[0] - s32 * Kiu[1] - om2_32 * Mu[0],
+                     Ku[1] + s32 * Kiu[0] - om2_32 * Mu[1]])
+
+            def band_stack32(rr):
+                return band_stack(rr.astype(jnp.float64)).astype(f32)
+
+            def P32_apply(rr):
+                return P_common(rr, band_stack32, MZ32, Zw32, precond32)
+
+            k_inner = int(min(n_refine, 10))
+            n_outer = 10  # adaptive — typical solves exit after 2-3
 
             def slv(mv_, bb):
                 bb_re, bb_im = bb
                 bbs = jnp.stack([bb_re, bb_im])
                 x0 = band_stack(bbs)
-                b_norm2 = jnp.sum(bbs * bbs)
-                # forward error ~ kappa(A) * relative residual, and near a
-                # resonance kappa ~ 1/beta (~300): tighten the residual
-                # target by the band-computable amplification so the FRF
-                # accuracy target holds AT the peaks while off-resonance
-                # solves stay cheap
-                den = jnp.sqrt((lam_w - om2) ** 2 + (sb * lam_w) ** 2)
-                amp = jnp.maximum(jnp.max(lam_w / den), 1.0)
-                tol_eff = jnp.maximum(refine_tol / amp, 3e-12)
-                # no absolute floor: ||b|| is dominated by a few huge
-                # stiffness-lift components whose f64 evaluation noise sits
-                # in stiff directions (A^-1-small — irrelevant to forward
-                # error), so driving the residual below eps64*||b|| is
-                # still productive; k_max bounds any stagnation
-                u = _pgmres(A_apply, P_apply, bbs, x0, tol_eff, 0.0,
-                            int(n_refine))
-                return (u[0], u[1])
+                r0 = bbs - A_apply(x0)
+                rn2_0 = jnp.sum(r0 * r0)
+
+                def outer_cond(state):
+                    _, _, j, rn2, tol2 = state
+                    return jnp.logical_and(j < n_outer, rn2 > tol2)
+
+                def outer_body(state):
+                    x, r64, j, _, tol2 = state
+                    d32 = _pgmres(A32_apply, P32_apply, r64.astype(f32),
+                                  jnp.zeros_like(r64, f32), 1e-4, 0.0,
+                                  k_inner, anchor=False)
+                    x = x + d32.astype(jnp.float64)
+                    r64 = bbs - A_apply(x)
+                    rn2 = jnp.sum(r64 * r64)
+                    # re-anchor the target on the residual left after the
+                    # first correction (the raw rhs carries stiffness-lift
+                    # components orders above the solution scale)
+                    tol2 = jnp.where(
+                        j == 0,
+                        (tol_eff * jnp.maximum(
+                            jnp.sqrt(rn2),
+                            1e-13 * jnp.sqrt(jnp.sum(bbs * bbs)))) ** 2,
+                        tol2)
+                    return x, r64, j + 1, rn2, tol2
+
+                x, _, _, _, _ = jax.lax.while_loop(
+                    outer_cond, outer_body,
+                    (x0, r0, jnp.int32(0), rn2_0,
+                     jnp.asarray(-1.0, jnp.float64)))
+                return (x[0], x[1])
 
             return slv
 

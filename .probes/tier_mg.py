@@ -40,7 +40,8 @@ t1 = time.time()
 print(f"init {t1-t0:.1f}s n_free={p.n_free} nnz={p.op.pattern.nnz}", flush=True)
 core, od = p.getFRCore()
 t2 = time.time()
-lv = p._mg_static["n"] if precond == "mg" else "dense"
+lv = (p._mg_static["n"] if hasattr(p, "_mg_static") else
+      ("twogrid:" + str(p._mg_rl.n_coarse) if hasattr(p, "_mg_rl") else "dense"))
 print(f"host prep {t2-t1:.1f}s levels={lv} m={od['W64'].shape[1]} "
       f"chunk={getattr(p, 'freq_chunk', None)}", flush=True)
 

@@ -726,31 +726,35 @@ class Problem:
 
         freq_chunk = self.freq_chunk
         if freq_chunk is None and op.pattern.nnz > 300_000:
-            # per-lane memory is dominated by the FGMRES V/Z bases:
-            # ~(4 k_max + 6) n-vectors of f64 per frequency lane; budget
-            # ~1.5 GB of live bases per chunk (the AOT compiler's
-            # conservative liveness estimate roughly doubles it)
+            # per-lane memory is dominated by the FGMRES f64 V/Z bases;
+            # budget ~2 GB of bases per chunk.  Every hot op at this tier
+            # is LATENCY-bound, not batch-bound (the f64 scatter costs
+            # 206 ms at nnz=2e6 whether 16 or 128 frequency lanes ride
+            # along), so the chunk should be as LARGE as memory allows.
             per_lane = (4.0 * self.n_refine + 6.0) * n * 8.0
             freq_chunk = int(np.clip(
-                2 ** np.floor(np.log2(max(7.5e8 / per_lane, 4.0))), 4, 64))
+                2 ** np.floor(np.log2(max(2.0e9 / per_lane, 4.0))), 4, 64))
 
         def _mg_kwargs(od):
-            # reads _mg_static at trace time (set further down in this
-            # method, before the cores are ever traced)
+            # reads the _mg_* attributes at trace time (set further down in
+            # this method, before the cores are ever traced)
+            if "mg_band0" in od:
+                return {
+                    "mg": {"tg_band0": od["mg_band0"],
+                           "dinv": od["mg_dinv"], "Pt": od["mg_Pt"],
+                           "Kc_inv": od["mg_Kcinv"],
+                           "slots": od["mg_slots"],
+                           "lmax": self._mg_lmax, "rl": self._mg_rl,
+                           "layout": self._band_layout},
+                    "K_ref64": od["Kref64"],
+                }
             if "mg_arrays" not in od:
                 return {}
             return {
-                "mg": {"arrays": od["mg_arrays"], "static": self._mg_static,
-                       "band0": od.get("mg_band0"),
-                       "layout": self._band_layout},
+                "mg": {"arrays": od["mg_arrays"],
+                       "static": self._mg_static},
                 "K_ref64": od["Kref64"],
             }
-
-        def _band_kwargs(od):
-            if self._band_layout is None:
-                return {}
-            return {"band": {"layout": self._band_layout,
-                             "lin": od["band_lin"], "M64": od["Mband64"]}}
 
         # RCM block-tridiagonal layout (ops/band.py): relabel the free DOFs
         # once, here, so the whole engine — pattern indices, band basis,
@@ -796,16 +800,11 @@ class Problem:
             "W64": jnp.asarray(W64, jnp.float64),
         }
         if layout is not None:
-            # the block tensors are built ON DEVICE from the flat data (a
-            # ~16 MB transfer + one device scatter) — shipping the 1 GB
-            # host-built tensor through the tunneled TPU transport was the
-            # dominant Problem-build cost (minutes at ~15 MB/s)
+            # band tensors are f32-only and built ON DEVICE from flat data
+            # (~16 MB transfers) — they power the scatter-free two-grid
+            # preconditioner; exact f64 solver arithmetic stays on the
+            # flat scatter SpMV (ops/mixed.py precision-placement notes)
             lin_dev = jnp.asarray(layout.lin)
-            base |= {
-                "band_lin": lin_dev,
-                "Mband64": flat_to_band(jnp.asarray(M_eq, jnp.float64),
-                                        layout, lin_dev),
-            }
 
         if self.precond == "mg":
             # O(nnz) multilevel complement preconditioner (100k-DOF path):
@@ -835,6 +834,8 @@ class Problem:
                 chain.append(cp)
                 fine = cp
                 factor *= 2.0
+                if layout is not None:
+                    break  # the band two-grid uses exactly one coarse level
             if not chain:
                 raise ValueError(
                     "precond='mg' could not build a coarser mesh level for "
@@ -850,57 +851,89 @@ class Problem:
                     three_field=three_field,
                 ))
                 fine = cp
-            if layout is not None:
-                # the finest prolongation's row space is the fine free-DOF
-                # set — relabel it into the RCM ordering (coarse levels
-                # keep their own internal numbering)
-                Ps[0] = Ps[0][layout.perm, :].tocsr()
-            mg_arrays, mg_static = build_multilevel_host(
-                K_ref_eq, rows_h, cols_h, n, Ps,
-                row_scale=pvec(scale_vec), invert_coarse=False,
-            )
-            # invert the coarsest level ON DEVICE: f32 LU at MXU speed with
-            # a constant-time compile, and only the sparse Galerkin data
-            # crosses the (slow, tunneled) host->device transport.  The f32
-            # factorization quality matches a host f64-inverse-then-round
-            # to O(eps32 * kappa) — which the preconditioner refinement
-            # rounds square away either way (ops/mixed.precond).
-            from ..ops.dense import inv_blocked
+            from ..ops.dense import inv_refined
             from ..ops.scatter import to_dense as _to_dense
 
-            Kc = mg_arrays.pop("Kc_coo")
-            nc = int(Kc["n"])
-            # one jitted program: XLA plans the liveness of the blocked
-            # inversion's GB-scale intermediates instead of the eager
-            # dispatcher keeping every one alive (measured HBM OOM)
-            inv_fn = jax.jit(
-                lambda d, r, c: inv_blocked(_to_dense(d, r, c, nc)))
-            mg_arrays["Kc_inv32"] = inv_fn(
-                jnp.asarray(Kc["data"], jnp.float32),
-                jnp.asarray(Kc["rows"]), jnp.asarray(Kc["cols"]))
             base |= {
                 "invK32": jnp.zeros((1, 1), jnp.float32),  # unused dummy
                 "Kref64": jnp.asarray(K_ref_eq, jnp.float64),
-                "mg_arrays": jax.tree_util.tree_map(jnp.asarray, mg_arrays),
             }
             if layout is not None:
-                # static f32 band form of the reference stiffness for the
-                # cycle's level-0 matvecs (theta-independent, device-built)
-                base["mg_band0"] = flat_to_band(
-                    jnp.asarray(K_ref_eq, jnp.float32), layout, lin_dev)
-            self._mg_static = mg_static
+                # ---- band tier: scatter-free symmetric two-grid --------
+                # fine smoothing on the f32 band operator, one EXACT
+                # coarse solve through a rectangular block-band
+                # prolongation (induced coarse ordering) and a
+                # device-inverted dense coarse operator
+                import scipy.sparse as sp
+
+                from ..ops.band import build_rect_band, rect_band_tensor
+                from ..ops.mg import _dinv_lmax, _pin_dead
+
+                P = Ps[0][layout.perm, :].tocsr()
+                P = (sp.diags(1.0 / pvec(scale_vec)) @ P).tocsr()
+                rl = build_rect_band(P, layout)
+                Ksp = sp.csr_matrix((K_ref_eq, (rows_h, cols_h)),
+                                    shape=(n, n))
+                Ksp = 0.5 * (Ksp + Ksp.T)
+                Pp = P[:, rl.perm_c]
+                Kc = _pin_dead((Pp.T @ (Ksp @ Pp)).tocsc(), Pp)
+                Kc = (0.5 * (Kc + Kc.T)).tocsc()
+                dinv, lmax = _dinv_lmax(Ksp)
+                # the coarse Galerkin operator inherits the equilibrated
+                # variables through P~ = S^-1 P and is too ill-conditioned
+                # for ANY f32 factorization (diag spread ~1e7 after its own
+                # Jacobi scaling — a device f32 LU inverse came out with
+                # O(1) error and Newton-Schulz diverged from it).  At
+                # n_c <= ~8.6k the host f64 splu inverse is cheap and its
+                # ~0.3 GB f32 transfer is the one worthwhile use of the
+                # slow transport.
+                import scipy.sparse.linalg as spla
+
+                Kc_inv = spla.splu(Kc).solve(np.eye(Kc.shape[0]))
+                base |= {
+                    "mg_band0": flat_to_band(
+                        jnp.asarray(K_ref_eq, jnp.float32), layout,
+                        lin_dev),
+                    "mg_dinv": jnp.asarray(dinv, jnp.float32),
+                    "mg_Pt": rect_band_tensor(rl),
+                    "mg_slots": jnp.asarray(rl.slots),
+                    "mg_Kcinv": jnp.asarray(Kc_inv, jnp.float32),
+                }
+                self._mg_lmax = lmax
+                self._mg_rl = rl
+                self._mg_Kc = Kc  # host COO — diagnostics/tests
+            else:
+                # flat tier: recursive Galerkin multilevel with a
+                # device-inverted coarsest level
+                mg_arrays, mg_static = build_multilevel_host(
+                    K_ref_eq, rows_h, cols_h, n, Ps,
+                    row_scale=pvec(scale_vec), invert_coarse=False,
+                )
+                Kc = mg_arrays.pop("Kc_coo")
+                nc = int(Kc["n"])
+                # one jitted program: XLA plans the liveness of the
+                # blocked inversion's GB-scale intermediates instead of
+                # the eager dispatcher keeping every one alive
+                inv_fn = jax.jit(
+                    lambda d, r, c: inv_refined(_to_dense(d, r, c, nc)))
+                mg_arrays["Kc_inv32"] = inv_fn(
+                    jnp.asarray(Kc["data"], jnp.float32),
+                    jnp.asarray(Kc["rows"]), jnp.asarray(Kc["cols"]))
+                base["mg_arrays"] = jax.tree_util.tree_map(
+                    jnp.asarray, mg_arrays)
+                self._mg_static = mg_static
         else:
             # dense inverse computed ON DEVICE (f32 LU): skips both the
             # host O(n^3) build and the n^2 transfer through the tunneled
             # transport; quality difference vs the host f64 build is
             # O(eps32 * kappa) either way and absorbed by the refinement
             # rounds (ops/mixed.precond)
-            from ..ops.dense import inv_blocked
+            from ..ops.dense import inv_refined
             from ..ops.scatter import to_dense as _to_dense
 
             Kref32 = jnp.asarray(K_ref_eq, jnp.float32)
             inv_fn = jax.jit(
-                lambda d, r, c: inv_blocked(_to_dense(d, r, c, n)))
+                lambda d, r, c: inv_refined(_to_dense(d, r, c, n)))
             base["invK32"] = inv_fn(Kref32, jnp.asarray(rows_h),
                                     jnp.asarray(cols_h))
             base["Kref32"] = Kref32
@@ -935,7 +968,7 @@ class Problem:
                     n_refine=n_refine, refine_tol=self.refine_tol,
                     freq_chunk=freq_chunk,
                     ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
-                    **_mg_kwargs(od), **_band_kwargs(od),
+                    **_mg_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
@@ -996,7 +1029,7 @@ class Problem:
                 n_refine=n_refine, refine_tol=self.refine_tol,
                 freq_chunk=freq_chunk,
                 ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
-                **_mg_kwargs(od), **_band_kwargs(od),
+                **_mg_kwargs(od),
             )
 
             def mag2(rvec, r0):

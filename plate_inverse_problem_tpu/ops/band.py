@@ -149,6 +149,132 @@ def band_mv(band, x, layout: BandLayout, precision=None):
     return y.reshape(lead + (nb * b,))[..., :n]
 
 
+@dataclass(frozen=True)
+class RectBandLayout:
+    """Rectangular block-band layout for a prolongation P (fine x coarse).
+
+    The coarse DOFs are relabeled by the *induced* order (sorted by the
+    mean fine-RCM row of their P column), then partitioned into the SAME
+    number of blocks as the fine band layout (block size ``bc``).  Every
+    column then only touches fine blocks within ``hw`` block offsets, so
+    prolongation and restriction are single batched f32 GEMMs over the
+    (nb, b, nd*bc) tensor — no scatter, no gather.
+    """
+    n_fine: int
+    n_coarse: int
+    nb: int
+    b: int
+    bc: int
+    nd: int        # number of block diagonals (2*hw + 1)
+    hw: int
+    perm_c: np.ndarray = field(repr=False)   # induced coarse relabeling
+    slots: np.ndarray = field(repr=False)    # compact index -> padded slot
+    lin: np.ndarray = field(repr=False)      # scatter targets into the tensor
+    vals: np.ndarray = field(repr=False)     # P entries (induced order)
+
+
+def build_rect_band(P_csr, layout: BandLayout,
+                    bc_multiple: int = 128) -> RectBandLayout:
+    """Lay out a (permuted-row-space) prolongation as rectangular block-band.
+
+    ``P_csr`` rows must already be in the fine layout's RCM order.  Returns
+    the layout plus flat (vals, lin) so callers can build the tensor on
+    device (transfers stay a few MB).
+    """
+    import scipy.sparse as sp
+
+    P = sp.coo_matrix(P_csr)
+    n_f, n_c = P.shape
+    nb, b = layout.nb, layout.b
+
+    # each coarse column is assigned to the fine BLOCK holding the mean of
+    # its support rows (a uniform slot->block mapping fails badly when the
+    # coarse density varies along the fine RCM axis — measured 189 block
+    # diagonals vs 3-5 with target-block assignment); block capacity is
+    # the largest bucket, rounded up to the lane multiple
+    colsum = np.zeros(n_c)
+    colcnt = np.zeros(n_c)
+    np.add.at(colsum, P.col, P.row.astype(np.float64))
+    np.add.at(colcnt, P.col, 1.0)
+    key = np.where(colcnt > 0, colsum / np.maximum(colcnt, 1.0), 0.0)
+    target = np.clip((key // b).astype(np.int64), 0, nb - 1)
+    order = np.lexsort((key, target))              # group by block, local order
+    perm_c = order.astype(np.int64)
+    rank = np.empty(n_c, np.int64)
+    # rank within each target block
+    tgt_sorted = target[order]
+    starts = np.searchsorted(tgt_sorted, np.arange(nb))
+    rank[order] = np.arange(n_c) - starts[tgt_sorted]
+
+    counts = np.bincount(target, minlength=nb)
+    bc = max(bc_multiple,
+             -(-int(counts.max()) // bc_multiple) * bc_multiple)
+    slot = target * bc + rank
+    q = P.row // b
+    qc = target[P.col]
+    hw = int(np.abs(qc - q).max()) if P.nnz else 0
+    nd = 2 * hw + 1
+    lin = ((q * nd + (qc - q + hw)) * b + P.row % b) * bc + slot[P.col] % bc
+    idt = np.int32 if lin.max() < 2**31 else np.int64
+    return RectBandLayout(n_fine=n_f, n_coarse=n_c, nb=nb, b=b, bc=bc,
+                          nd=nd, hw=hw, perm_c=perm_c,
+                          slots=slot[perm_c].astype(np.int32),
+                          lin=lin.astype(idt),
+                          vals=P.data.astype(np.float32))
+
+
+def rect_band_tensor(rl: RectBandLayout):
+    """Device-built (nb, b, nd*bc) f32 prolongation tensor."""
+    flat = jnp.zeros((rl.nb * rl.nd * rl.b * rl.bc,), jnp.float32)
+    t = flat.at[jnp.asarray(rl.lin)].add(jnp.asarray(rl.vals))
+    return t.reshape(rl.nb, rl.nd, rl.b, rl.bc).transpose(0, 2, 1, 3) \
+            .reshape(rl.nb, rl.b, rl.nd * rl.bc)
+
+
+def _coarse_windows(rl: RectBandLayout, xs):
+    """(B, nb*bc) padded-slot vector -> (B, nb, nd*bc) block windows."""
+    B = xs.shape[0]
+    xb = xs.reshape(B, rl.nb, rl.bc)
+    xm = jnp.pad(xb, ((0, 0), (rl.hw, rl.hw), (0, 0)))
+    win = jnp.stack([xm[:, d:d + rl.nb, :] for d in range(rl.nd)], axis=2)
+    return win.reshape(B, rl.nb, rl.nd * rl.bc)
+
+
+def rect_band_mv(Pt, xc, rl: RectBandLayout, slots, precision=None):
+    """Prolongation y_f = P x_c as one batched f32 GEMM; xc (..., n_c)
+    compact.  ``slots`` maps compact coarse indices into the padded
+    block-slot space (a per-block-capacity layout — tiny scatter)."""
+    lead = xc.shape[:-1]
+    B = 1
+    for s in lead:
+        B *= s
+    xs = jnp.zeros((B, rl.nb * rl.bc), xc.dtype)
+    xs = xs.at[:, slots].set(xc.reshape(B, rl.n_coarse))
+    win = _coarse_windows(rl, xs)
+    y = jnp.einsum("qic,Bqc->Bqi", Pt, win, precision=precision)
+    return y.reshape(lead + (rl.nb * rl.b,))[..., :rl.n_fine]
+
+
+def rect_band_tmv(Pt, rf, rl: RectBandLayout, slots, precision=None):
+    """Restriction r_c = P^T r_f — the transposed GEMM plus a fold of the
+    overlapping block windows back onto the padded slots (nd shifted
+    adds, pure elementwise), then the compact gather."""
+    lead = rf.shape[:-1]
+    B = 1
+    for s in lead:
+        B *= s
+    rp = jnp.pad(rf.reshape(B, rl.n_fine),
+                 ((0, 0), (0, rl.nb * rl.b - rl.n_fine)))
+    rb = rp.reshape(B, rl.nb, rl.b)
+    w = jnp.einsum("qic,Bqi->Bqc", Pt, rb, precision=precision)
+    w = w.reshape(B, rl.nb, rl.nd, rl.bc)
+    acc = jnp.zeros((B, rl.nb + 2 * rl.hw, rl.bc), w.dtype)
+    for d in range(rl.nd):
+        acc = acc.at[:, d:d + rl.nb, :].add(w[:, :, d, :])
+    acc = acc[:, rl.hw:rl.hw + rl.nb, :].reshape(B, rl.nb * rl.bc)
+    return acc[:, slots].reshape(lead + (rl.n_coarse,))
+
+
 def permute_pattern(layout: BandLayout, rows, cols):
     """Relabel pattern indices into the RCM ordering (host-side)."""
     return (layout.iperm[np.asarray(rows)].astype(np.int32),

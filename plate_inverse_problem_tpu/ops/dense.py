@@ -26,6 +26,31 @@ import jax.numpy as jnp
 _DIRECT_MAX = 12288
 
 
+def inv_refined(A, direct_max: int = _DIRECT_MAX, ns_iters: int = 3):
+    """f32 inverse of an ill-conditioned SPD matrix, fit for use as a
+    near-exact solve.
+
+    A raw f32 LU inverse of a kappa ~ 1e9+ operator (an UNequilibrated
+    Galerkin coarse stiffness, say) is garbage — eps32 * kappa >> 1.  Two
+    standard fixes compose here:
+
+    1. symmetric Jacobi equilibration (kappa of the scaled matrix drops to
+       the operator's intrinsic spread, ~1e5-1e6 for the plate coarse
+       levels), then
+    2. Newton-Schulz polishing X <- X (2I - A X), which SQUARES the
+       remaining eps32*kappa inverse error per step (two GEMMs each,
+       one-time build cost).
+    """
+    d = jnp.diagonal(A)
+    s = 1.0 / jnp.sqrt(jnp.where(jnp.abs(d) > 0, jnp.abs(d), 1.0))
+    At = A * s[:, None] * s[None, :]
+    X = inv_blocked(At, direct_max)
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    for _ in range(ns_iters):
+        X = X @ (2.0 * eye - At @ X)
+    return X * s[None, :] * s[:, None]
+
+
 def inv_blocked(A, direct_max: int = _DIRECT_MAX):
     """Inverse of a (well-conditioned-after-equilibration) SPD matrix of
     any size on TPU; falls back to ``jnp.linalg.inv`` when it fits."""

@@ -171,6 +171,9 @@ _PRECOND_REFINE = 3   # f32 refinement rounds inside the dense preconditioner
                       #  0 -> 72, 1 -> 114, 2 -> 132, 3 -> 159, 4 -> 156
                       #  solves/s/chip — each round squares down the
                       #  eps32*kappa error of the f32 inverse)
+_MG_REFINE = 1        # refinement rounds around the two-grid/multilevel
+                      # cycle (each costs a full extra cycle — pricier
+                      # than the dense path's GEMM)
 
 
 def _cmul(a, b):
@@ -374,7 +377,7 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 16, refine_tol: float = 3e-7,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
-                ki_proportional: bool = False, band=None, K_ref32=None):
+                ki_proportional: bool = False, K_ref32=None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -383,26 +386,31 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     W64: (n, m) f64 M-orthonormal band basis (static);
     invK32: (n, n) f32 static preconditioner.
 
-    The refinement loop is adaptive: it stops when the relative residual
-    drops below ``refine_tol`` (or after ``n_refine`` iterations).  A
-    ``while_loop`` is safe here because the solve closure of
-    ``custom_linear_solve`` is a numerical method — it is never
-    differentiated, so reverse-mode AD is unaffected.
+    Per-frequency solve: exact band resolvent start + FGMRES in
+    split-complex f64 with the f32 complement preconditioner.  Precision
+    placement is the load-bearing design decision, learned the hard way:
 
-    Complement preconditioner: the dense f32 inverse ``invK32`` by default;
-    pass ``mg = {"arrays": ..., "static": ...}`` (from
-    ``ops.mg.build_multilevel_host``; arrays as jnp, static as Python
-    scalars) plus ``K_ref64`` (static equilibrated reference stiffness, flat
-    f64) to use the O(nnz) multilevel V-cycle instead (the 100k-DOF path —
-    ``invK32`` may then be a (1, 1) dummy).
+    * Krylov iterates, residuals and operator applications must be f64.
+      An all-f32 inner solver has a residual floor of
+      eps32 * kappa_effective * ||r|| (representing the huge smooth-mode
+      corrections in f32 injects noise that K amplifies back into the
+      residual) — at 20k+ DOF that floor is O(1) and the iteration cannot
+      converge AT ALL.
+    * The f64 operator application uses the flat scatter SpMV: elementwise
+      f64 is exact on TPU, memory stays O(nnz), and XLA:TPU has no true
+      f64 MXU dot (an "f64 band GEMM" lowers to a materialized product +
+      reduce).  The scatter's cost is serialization over nnz and therefore
+      BATCH-INVARIANT (measured 206 ms at nnz=2e6 whether 16 or 128
+      frequency lanes ride along) — large freq chunks amortize it to
+      a few ms per frequency.
+    * Only the PRECONDITIONER is f32 (dense refined inverse below ~8k DOF,
+      the scatter-free band two-grid cycle above — ops/mg.py), where
+      roundoff costs iterations, never accuracy.
 
-    ``band``: optional RCM block-tridiagonal layout (the MXU operator path,
-    ops/band.py): ``{"layout": BandLayout, "lin": device index array,
-    "M64": (nb, b, 3b) f64 static mass band}``.  The caller must have
-    relabeled the pattern (``rows``/``cols``) and every n-vector into the
-    layout's RCM ordering (Problem._mixed_core does).  The theta-dependent
-    stiffness scatters into the block tensor once per sweep; every hot
-    operator application is then a batched dense matmul.
+    Complement preconditioner selection: the dense f32 inverse ``invK32``
+    by default (with ``K_ref32`` enabling its f32 refinement rounds); pass
+    ``mg`` (two-grid band data or multilevel arrays — see
+    Problem._mixed_core) plus ``K_ref64`` for the O(nnz) paths.
 
     Returns (U_re, U_im) f64 — validated at ~3e-8 relative against f64
     sparse LU including exactly at resonances (tests/test_mixed.py).
@@ -415,60 +423,72 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     Ms64 = jax.lax.stop_gradient(M_flat).astype(jnp.float64)
     beta64 = jax.lax.stop_gradient(beta).astype(jnp.float64)
 
-    # ---- operator applications: flat scatter SpMV or MXU band matmuls ----
-    # *_t closures carry tangents (used in the differentiated matvec);
-    # the solver bodies use their stop_gradient versions.
-    if band is not None:
-        from .band import band_mv, flat_to_band
+    # ---- operator applications (flat scatter SpMV, exact f64) -----------
+    # The K and M applications the solver needs together are FUSED into
+    # one scatter pass: the scatter's cost is the serialized walk over the
+    # nnz entries, so stacking operators (and re/im) into the batch axes
+    # nearly halves the dominant per-iteration cost.
+    Kr64 = jax.lax.stop_gradient(K_re).astype(jnp.float64)
 
-        layout = band["layout"]
-        lin = band["lin"]
-        Kt_band = flat_to_band(K_re.astype(jnp.float64), layout, lin)
-        Krb = jax.lax.stop_gradient(Kt_band)
-        Mb64 = jax.lax.stop_gradient(band["M64"])
+    def Kt_mv(x):
+        return _spmv64(K_re, rows, cols, x, n)
 
-        def Kt_mv(x):
-            return band_mv(Kt_band, x, layout)
+    def K_mv(x):
+        return _spmv64(Kr64, rows, cols, x, n)
 
-        def K_mv(x):
-            return band_mv(Krb, x, layout)
+    def M_mv(x):
+        return _spmv64(Ms64, rows, cols, x, n)
 
-        def M_mv(x):
-            return band_mv(Mb64, x, layout)
+    def Mt_mv(x):
+        return _spmv64(M_flat, rows, cols, x, n)
 
-        Mt_mv = M_mv  # M is theta-independent: no tangent flows through it
-        if not ki_proportional:
-            Kit_band = flat_to_band(K_im.astype(jnp.float64), layout, lin)
-            Kib = jax.lax.stop_gradient(Kit_band)
+    def _fused_mv(stacked_data, uu, seg: int = 1 << 17):
+        """(S, nnz) operator stack applied to (..., n): output (S, ..., n).
 
-            def Kit_mv(x):
-                return band_mv(Kit_band, x, layout)
+        The nnz axis is scanned in segments: the scatter's cost is the
+        serialized walk over entries (unchanged), but the (S, batch, nnz)
+        contribution tensor — which at large frequency chunks dominated
+        the program's HBM footprint — never materializes beyond one
+        segment.  Padding rows with 0 and data with 0.0 adds zeros to row
+        0: harmless."""
+        S, nnz = stacked_data.shape
+        if nnz <= 2 * seg:
+            contrib = stacked_data[:, None, :] * uu[..., cols][None]
+            out = jnp.zeros((S,) + uu.shape[:-1] + (n,), contrib.dtype)
+            return out.at[..., rows].add(contrib)
+        k = -(-nnz // seg)
+        pad = k * seg - nnz
+        dp = jnp.pad(stacked_data, ((0, 0), (0, pad))) \
+            .reshape(S, k, seg).transpose(1, 0, 2)
+        rp = jnp.pad(rows, (0, pad)).reshape(k, seg)
+        cp = jnp.pad(cols, (0, pad)).reshape(k, seg)
 
-            def Ki_mv(x):
-                return band_mv(Kib, x, layout)
-    else:
-        Kr64 = jax.lax.stop_gradient(K_re).astype(jnp.float64)
+        def step(out, args):
+            d, r, c = args
+            contrib = d[:, None, :] * uu[..., c][None]
+            return out.at[..., r].add(contrib), None
 
-        def Kt_mv(x):
-            return _spmv64(K_re, rows, cols, x, n)
+        out0 = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked_data.dtype)
+        out, _ = jax.lax.scan(step, out0, (dp, rp, cp))
+        return out
 
-        def K_mv(x):
-            return _spmv64(Kr64, rows, cols, x, n)
+    KM64 = jnp.stack([Kr64, Ms64])
 
-        def M_mv(x):
-            return _spmv64(Ms64, rows, cols, x, n)
+    def KM_mv(uu):
+        return _fused_mv(KM64, uu)
 
-        def Mt_mv(x):
-            return _spmv64(M_flat, rows, cols, x, n)
+    if not ki_proportional:
+        Ki64 = jax.lax.stop_gradient(K_im).astype(jnp.float64)
+        KMI64 = jnp.stack([Kr64, Ms64, Ki64])
 
-        if not ki_proportional:
-            Ki64 = jax.lax.stop_gradient(K_im).astype(jnp.float64)
+        def Kit_mv(x):
+            return _spmv64(K_im, rows, cols, x, n)
 
-            def Kit_mv(x):
-                return _spmv64(K_im, rows, cols, x, n)
+        def Ki_mv(x):
+            return _spmv64(Ki64, rows, cols, x, n)
 
-            def Ki_mv(x):
-                return _spmv64(Ki64, rows, cols, x, n)
+        def KMI_mv(uu):
+            return _fused_mv(KMI64, uu)
 
     # ---- per-theta band Rayleigh-Ritz, all f64 --------------------------
     # Kw = W^T K_r W (m x m), Mw = W^T M W; W is M(theta-independent)-
@@ -491,54 +511,46 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
     MZ64 = M_mv(Zw64.T).T                              # (n, m) M-weighted
 
-    # ---- f32 shadows for the GMRES-IR inner solver (band mode) ----------
-    # the inner Krylov iteration runs entirely in f32: its operator
-    # applications are ~12x cheaper than the emulated-f64 band GEMMs, and
-    # the outer f64 refinement restores exactness (one exact residual per
-    # restart)
-    if band is not None:
-        Krb32 = Krb.astype(jnp.float32)
-        Mb32 = Mb64.astype(jnp.float32)
-        if not ki_proportional:
-            Kib32 = Kib.astype(jnp.float32)
-
-        def K32_mv(x):
-            return band_mv(Krb32, x, layout)
-
-        def M32_mv(x):
-            return band_mv(Mb32, x, layout)
-
-        if not ki_proportional:
-            def Ki32_mv(x):
-                return band_mv(Kib32, x, layout)
-        Zw32 = Zw64.astype(jnp.float32)
-        MZ32 = MZ64.astype(jnp.float32)
-
-    if mg is not None:
+    if mg is not None and "tg_band0" in mg:
+        # band tier: scatter/gather-free symmetric two-grid cycle
         from .band import band_mv
-        from .mg import multilevel_apply
+        from .mg import twogrid_apply
 
-        mg_band0 = mg.get("band0")
-        mg_layout = mg.get("layout")
+        tg_band0 = mg["tg_band0"]
+        tg_layout = mg["layout"]
+        tg_rl = mg["rl"]
+        tg_lmax = mg["lmax"]
+
+        def cycle(x32):
+            return twogrid_apply(tg_band0, mg["dinv"], tg_lmax,
+                                 mg["Pt"], mg["Kc_inv"], x32,
+                                 tg_layout, tg_rl, mg["slots"])
+
+        def Kref32_mv(x32):
+            return band_mv(tg_band0, x32, tg_layout)
+
+        def precond32(x32):
+            # f32 refinement rounds around the cycle: each round squares
+            # the cycle's error for one extra f32 matvec + cycle
+            y32 = cycle(x32)
+            for _ in range(_MG_REFINE):
+                r32 = x32 - Kref32_mv(y32)
+                y32 = y32 + cycle(r32)
+            return y32
+    elif mg is not None:
+        from .mg import multilevel_apply
 
         def cycle(x32):
             return multilevel_apply(mg["arrays"], mg["static"], K_ref64,
-                                    rows, cols, x32,
-                                    band0=mg_band0, layout=mg_layout)
+                                    rows, cols, x32)
 
         def Kref32_mv(x32):
-            if mg_band0 is not None:
-                return band_mv(mg_band0, x32, mg_layout,
-                               precision=jax.lax.Precision.DEFAULT)
             return spmv_flat(K_ref64.astype(jnp.float32), rows, cols,
                              x32, n)
 
         def precond32(x32):
-            # f32 refinement rounds around the cycle, same principle as
-            # the dense path below: each round squares the cycle's error
-            # for one extra f32 matvec + cycle
             y32 = cycle(x32)
-            for _ in range(_PRECOND_REFINE):
+            for _ in range(_MG_REFINE):
                 r32 = x32 - Kref32_mv(y32)
                 y32 = y32 + cycle(r32)
             return y32
@@ -596,15 +608,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 return Zw64 @ y_re, Zw64 @ y_im
 
             def A_apply(uu):
-                """Exact f64 operator on a (2, n) re/im stack."""
+                """Exact f64 operator on a (2, n) re/im stack, one fused
+                scatter pass for all the needed matvecs."""
                 if ki_proportional:
-                    Ku = K_mv(uu)
-                    Mu = M_mv(uu)
+                    Ku, Mu = KM_mv(uu)
                     return jnp.stack([Ku[0] - sb * Ku[1] - om2 * Mu[0],
                                       Ku[1] + sb * Ku[0] - om2 * Mu[1]])
-                Ku = K_mv(uu)
-                Kiu = Ki_mv(uu)
-                Mu = M_mv(uu)
+                Ku, Mu, Kiu = KMI_mv(uu)
                 return jnp.stack([Ku[0] - sign * Kiu[1] - om2 * Mu[0],
                                   Ku[1] + sign * Kiu[0] - om2 * Mu[1]])
 
@@ -640,88 +650,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             amp = jnp.maximum(jnp.max(lam_w / den), 1.0)
             tol_eff = jnp.maximum(refine_tol / amp, 3e-12)
 
-            if band is None:
-                def slv(mv_, bb):
-                    bb_re, bb_im = bb
-                    bbs = jnp.stack([bb_re, bb_im])
-                    x0 = band_stack(bbs)
-                    u = _pgmres(A_apply, P_apply, bbs, x0, tol_eff, 0.0,
-                                int(n_refine))
-                    return (u[0], u[1])
-
-                return slv
-
-            # ---- band mode: GMRES-IR ---------------------------------
-            # outer f64 iterative refinement around an inner FGMRES run
-            # ENTIRELY in f32 (operator, preconditioner, Krylov bases):
-            # the emulated-f64 band GEMM is ~12x the cost of the f32 one,
-            # so the exact arithmetic is spent only where exactness lives
-            # — one f64 residual per restart.  Textbook GMRES-IR, with
-            # the band resolvent kept in f64 inside the preconditioner
-            # (near-resonant denominators).
-            f32 = jnp.float32
-            om2_32 = om2.astype(f32)
-            sb32 = sb.astype(f32)
-
-            def A32_apply(uu):
-                if ki_proportional:
-                    Ku = K32_mv(uu)
-                    Mu = M32_mv(uu)
-                    return jnp.stack(
-                        [Ku[0] - sb32 * Ku[1] - om2_32 * Mu[0],
-                         Ku[1] + sb32 * Ku[0] - om2_32 * Mu[1]])
-                Ku = K32_mv(uu)
-                Kiu = Ki32_mv(uu)
-                Mu = M32_mv(uu)
-                s32 = jnp.asarray(sign, f32)
-                return jnp.stack(
-                    [Ku[0] - s32 * Kiu[1] - om2_32 * Mu[0],
-                     Ku[1] + s32 * Kiu[0] - om2_32 * Mu[1]])
-
-            def band_stack32(rr):
-                return band_stack(rr.astype(jnp.float64)).astype(f32)
-
-            def P32_apply(rr):
-                return P_common(rr, band_stack32, MZ32, Zw32, precond32)
-
-            k_inner = int(min(n_refine, 10))
-            n_outer = 10  # adaptive — typical solves exit after 2-3
-
             def slv(mv_, bb):
                 bb_re, bb_im = bb
                 bbs = jnp.stack([bb_re, bb_im])
                 x0 = band_stack(bbs)
-                r0 = bbs - A_apply(x0)
-                rn2_0 = jnp.sum(r0 * r0)
-
-                def outer_cond(state):
-                    _, _, j, rn2, tol2 = state
-                    return jnp.logical_and(j < n_outer, rn2 > tol2)
-
-                def outer_body(state):
-                    x, r64, j, _, tol2 = state
-                    d32 = _pgmres(A32_apply, P32_apply, r64.astype(f32),
-                                  jnp.zeros_like(r64, f32), 1e-4, 0.0,
-                                  k_inner, anchor=False)
-                    x = x + d32.astype(jnp.float64)
-                    r64 = bbs - A_apply(x)
-                    rn2 = jnp.sum(r64 * r64)
-                    # re-anchor the target on the residual left after the
-                    # first correction (the raw rhs carries stiffness-lift
-                    # components orders above the solution scale)
-                    tol2 = jnp.where(
-                        j == 0,
-                        (tol_eff * jnp.maximum(
-                            jnp.sqrt(rn2),
-                            1e-13 * jnp.sqrt(jnp.sum(bbs * bbs)))) ** 2,
-                        tol2)
-                    return x, r64, j + 1, rn2, tol2
-
-                x, _, _, _, _ = jax.lax.while_loop(
-                    outer_cond, outer_body,
-                    (x0, r0, jnp.int32(0), rn2_0,
-                     jnp.asarray(-1.0, jnp.float64)))
-                return (x[0], x[1])
+                u = _pgmres(A_apply, P_apply, bbs, x0, tol_eff, 0.0,
+                            int(n_refine))
+                return (u[0], u[1])
 
             return slv
 

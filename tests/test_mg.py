@@ -105,12 +105,21 @@ def test_two_level_contracts_on_plate():
 
 
 def test_three_level_contracts_on_plate():
-    """Recursive V-cycle (the 100k-DOF configuration) keeps a usable rate
-    when the coarse solve is itself a two-level correction."""
+    """Recursive V-cycle keeps a usable rate when the coarse solve is
+    itself a two-level correction.
+
+    The bar is 'solid Krylov preconditioner', not 'fast stationary
+    iteration': the smoother now uses the GUARANTEED Gershgorin
+    lambda_max bound (a power-iteration estimate under-shot at ~20k DOF
+    and Chebyshev diverged on the modes above its interval — the round-1
+    rate of ~0.3 was measured against that unsafe bound).  The looser
+    bound softens the smoother to a ~0.45-0.55 stationary rate, which
+    FGMRES turns into ~1.5 digits/iteration end-to-end
+    (tests/test_band.py::test_mixed_engine_band_mg)."""
     errs, rate = _contraction([_plate(ny=4), _plate(ny=2), _plate(ny=1)])
     print(f"three-level contraction rate: {rate:.3f}")
-    assert errs[-1] < 1e-4 * errs[0]
-    assert rate < 0.6
+    assert errs[-1] < 1e-2 * errs[0]
+    assert rate < 0.65
 
 def test_mixed_engine_with_mg_precond_matches_modal():
     """End-to-end: Problem(engine='mixed', precond='mg') reproduces the modal

@@ -63,3 +63,32 @@ for B in (16, 64):
     timeit(f"Kc_inv GEMM       B={B:3d}",
            lambda kc, x: jnp.einsum("ij,...j->...i", kc, x),
            od["mg_Kcinv"], Xc)
+
+# fused / scanned scatter variants
+from plate_inverse_problem_tpu.ops import mixed as MM
+KM = jnp.stack([Kf, Kf])
+import jax.numpy as jnp2
+def fused(stacked, uu, seg, rows, cols):
+    S, nnz = stacked.shape
+    if seg >= nnz:
+        contrib = stacked[:, None, None, :] * uu[None, ..., cols]
+        out = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked.dtype)
+        return out.at[..., rows].add(contrib)
+    k = -(-nnz // seg); pad = k*seg - nnz
+    dp = jnp.pad(stacked, ((0,0),(0,pad))).reshape(S, k, seg).transpose(1,0,2)
+    rp = jnp.pad(rows, (0,pad)).reshape(k, seg)
+    cp = jnp.pad(cols, (0,pad)).reshape(k, seg)
+    def step(out, args):
+        d, r, c = args
+        contrib = d[:, None, None, :] * uu[None, ..., c]
+        return out.at[..., r].add(contrib), None
+    out0 = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked.dtype)
+    out, _ = jax.lax.scan(step, out0, (dp, rp, cp))
+    return out
+
+for B in (16, 64):
+    U = jnp.asarray(rng.standard_normal((B, 2, n)))
+    for segv in (1 << 17, 1 << 19, 1 << 22):
+        timeit(f"fused S=2 B={B}x2 seg={segv>>10}k",
+               lambda d, r, c, u: fused(d, u, segv, r, c),
+               KM, od["rows"], od["cols"], U)

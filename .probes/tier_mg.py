@@ -12,6 +12,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/pip_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import plate_inverse_problem_tpu as pip
+if os.environ.get("MG_REFINE"):
+    import plate_inverse_problem_tpu.ops.mixed as _M3
+    _M3._MG_REFINE = int(os.environ["MG_REFINE"])
 if os.environ.get("PRECOND_REFINE"):
     import plate_inverse_problem_tpu.ops.mixed as _M2
     _M2._PRECOND_REFINE = int(os.environ["PRECOND_REFINE"])

@@ -66,7 +66,7 @@ class LossFunction:
     """
 
     def __init__(self, core, opdata, frequencies, reference_fr, func_type,
-                 scaling_params=None):
+                 scaling_params=None, call_seg=None):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
         self._ref = jnp.asarray(reference_fr)
@@ -78,23 +78,23 @@ class LossFunction:
             scaling = jnp.asarray(scaling_params)
 
         if func_type == "MSE":
-            def reduction(fr, ref):
-                return jnp.mean(jnp.abs(fr - ref) ** 2)
+            def term(fr, ref):
+                return jnp.abs(fr - ref) ** 2
         elif func_type == "RMSE":
-            def reduction(fr, ref):
-                return jnp.mean(jnp.abs((fr - ref) / ref) ** 2)
+            def term(fr, ref):
+                return jnp.abs((fr - ref) / ref) ** 2
         elif func_type == "MSE_AFC":
-            def reduction(fr, ref):
-                return jnp.mean((jnp.abs(fr) - jnp.abs(ref)) ** 2)
+            def term(fr, ref):
+                return (jnp.abs(fr) - jnp.abs(ref)) ** 2
         elif func_type == "MSE_LOG_AFC":
-            def reduction(fr, ref):
-                return jnp.mean((jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2)
+            def term(fr, ref):
+                return (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2
         else:
             raise ValueError(f'Function type "{func_type}" is not supported!')
 
         def full(params, od, freqs, ref):
             fr = core(freqs, params * scaling, od)
-            return reduction(fr, ref)
+            return jnp.mean(term(fr, ref))
 
         self._full = full
         self._value = jax.jit(full)
@@ -102,6 +102,43 @@ class LossFunction:
         self._g = jax.jit(jax.grad(full))
         self._hess = None
         self._vgh = None
+
+        # host-level call segmentation (big-DOF sweeps on the tunneled TPU
+        # runtime, see Problem._call_segment): every loss type is a MEAN of
+        # per-frequency terms, so the loss and all its derivatives decompose
+        # into weighted per-segment SUMS computed in separate device calls
+        # (padded entries carry weight zero).
+        F = int(self._freqs.shape[0])
+        self._segments = None
+        if call_seg is not None and F > call_seg:
+            n_seg = -(-F // call_seg)
+            pad = n_seg * call_seg - F
+            fpad = jnp.concatenate(
+                [self._freqs, jnp.repeat(self._freqs[-1:], pad)])
+            rpad = jnp.concatenate(
+                [self._ref, jnp.repeat(self._ref[-1:], pad)])
+            w = jnp.concatenate([jnp.ones(F), jnp.zeros(pad)])
+            self._segments = (fpad.reshape(n_seg, call_seg),
+                              rpad.reshape(n_seg, call_seg),
+                              w.reshape(n_seg, call_seg), float(F))
+
+            def fullsum(params, od, fs, refs, ws):
+                fr = core(fs, params * scaling, od)
+                return jnp.sum(ws * term(fr, refs))
+
+            self._fullsum = fullsum
+            self._sum_v = jax.jit(fullsum)
+            self._sum_vg = jax.jit(jax.value_and_grad(fullsum))
+            self._sum_h = None
+
+    def _seg_reduce(self, fn, params):
+        fseg, rseg, wseg, F = self._segments
+        acc = None
+        for i in range(fseg.shape[0]):
+            out = fn(params, self._opdata, fseg[i], rseg[i], wseg[i])
+            acc = out if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, out)
+        return jax.tree_util.tree_map(lambda a: a / F, acc)
 
     def pure(self):
         """``(fn, aux)`` with ``fn(params, *aux) -> scalar`` traceable.
@@ -113,15 +150,25 @@ class LossFunction:
         return self._full, (self._opdata, self._freqs, self._ref)
 
     def __call__(self, params):
+        if self._segments is not None:
+            return self._seg_reduce(self._sum_v, params)
         return self._value(params, self._opdata, self._freqs, self._ref)
 
     def value_and_grad(self, params):
+        if self._segments is not None:
+            return self._seg_reduce(self._sum_vg, params)
         return self._vg(params, self._opdata, self._freqs, self._ref)
 
     def grad(self, params):
+        if self._segments is not None:
+            return self._seg_reduce(self._sum_vg, params)[1]
         return self._g(params, self._opdata, self._freqs, self._ref)
 
     def hessian(self, params):
+        if self._segments is not None:
+            if self._sum_h is None:
+                self._sum_h = jax.jit(jax.jacfwd(jax.grad(self._fullsum)))
+            return self._seg_reduce(self._sum_h, params)
         if self._hess is None:
             self._hess = jax.jit(jax.jacfwd(jax.grad(self._full)))
         return self._hess(params, self._opdata, self._freqs, self._ref)
@@ -129,6 +176,9 @@ class LossFunction:
     def value_grad_hessian(self, params):
         """(f, grad, dense Hessian) — the trust-region model oracle
         (reference Optimizers.py:125-136)."""
+        if self._segments is not None:
+            v, g = self.value_and_grad(params)
+            return v, g, self.hessian(params)
         if self._vgh is None:
             vg = jax.value_and_grad(self._full)
             hess = jax.jacfwd(jax.grad(self._full))
@@ -153,7 +203,8 @@ class ResidualFunction:
     """
 
     def __init__(self, core, opdata, frequencies, reference_fr, kind="log_afc",
-                 scaling_params=None, freq_chunk: int | None = None):
+                 scaling_params=None, freq_chunk: int | None = None,
+                 call_seg: int | None = None):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
         self._ref = jnp.asarray(reference_fr)
@@ -211,10 +262,54 @@ class ResidualFunction:
             )
         self._rj = jax.jit(rj if freq_chunk is None else rj_chunked)
 
+        # host-level call segmentation (see Problem._call_segment): the
+        # residual rows are per-frequency, so r and J concatenate across
+        # separate device calls; padded rows are sliced off, and for the
+        # 'complex' kind the per-segment [re, im] halves are regrouped
+        # into the global [re(all), im(all)] layout.
+        self._segments = None
+        F = int(self._freqs.shape[0])
+        if call_seg is not None and F > call_seg:
+            n_seg = -(-F // call_seg)
+            pad = n_seg * call_seg - F
+            fpad = jnp.concatenate(
+                [self._freqs, jnp.repeat(self._freqs[-1:], pad)])
+            rpad = jnp.concatenate(
+                [self._ref, jnp.repeat(self._ref[-1:], pad)])
+            eff = [call_seg] * (n_seg - 1) + [call_seg - pad]
+            self._segments = (fpad.reshape(n_seg, call_seg),
+                              rpad.reshape(n_seg, call_seg), eff, call_seg)
+
+    def _seg_collect(self, fn, params):
+        fseg, rseg, eff, seg = self._segments
+        res, ims, Jre, Jim = [], [], [], []
+        for i in range(fseg.shape[0]):
+            out = fn(params, self._opdata, fseg[i], rseg[i])
+            r, J = out if isinstance(out, tuple) else (out, None)
+            if self.kind == "complex":
+                res.append(r[:eff[i]])
+                ims.append(r[seg:seg + eff[i]])
+                if J is not None:
+                    Jre.append(J[:eff[i]])
+                    Jim.append(J[seg:seg + eff[i]])
+            else:
+                res.append(r[:eff[i]])
+                if J is not None:
+                    Jre.append(J[:eff[i]])
+        r_all = jnp.concatenate(res + ims)
+        if not Jre:
+            return r_all
+        return r_all, jnp.concatenate(Jre + Jim)
+
     def __call__(self, params):
+        if self._segments is not None:
+            return self._seg_collect(
+                lambda *a: (self._r(*a), None), params)
         return self._r(params, self._opdata, self._freqs, self._ref)
 
     def value_and_jac(self, params):
+        if self._segments is not None:
+            return self._seg_collect(self._rj, params)
         return self._rj(params, self._opdata, self._freqs, self._ref)
 
 
@@ -241,7 +336,7 @@ class Problem:
                                         # resonance-amplification scaling in
                                         # ops/mixed.py makes this track the
                                         # delivered FRF accuracy ~1:1
-        precond: str = "dense",         # mixed-engine complement precond:
+        precond: str = "auto",          # mixed-engine complement precond:
                                         # 'dense' (f32 inverse, <=20k DOF) or
                                         # 'mg' (O(nnz) multilevel V-cycle)
         mg_coarse_max: int = 11500,     # mg: coarsen until n_free <= this,
@@ -273,9 +368,10 @@ class Problem:
         self.f_max = f_max
         self.n_refine = n_refine
         self.refine_tol = float(refine_tol)
-        if precond not in ("dense", "mg"):
+        if precond not in ("auto", "dense", "mg"):
             raise ValueError(
-                f"Unknown precond {precond!r}; valid options: 'dense', 'mg'."
+                f"Unknown precond {precond!r}; valid options: 'auto', "
+                "'dense', 'mg'."
             )
         self.precond = precond
         self.mg_coarse_max = int(mg_coarse_max)
@@ -806,7 +902,16 @@ class Problem:
             # flat scatter SpMV (ops/mixed.py precision-placement notes)
             lin_dev = jnp.asarray(layout.lin)
 
-        if self.precond == "mg":
+        # 'auto': the dense f32 inverse is built on device, and the TPU LU
+        # panel limit makes single-shot inversion impossible (and the
+        # blocked Schur fallback numerically marginal) above ~12k rows —
+        # exactly where the O(nnz) two-grid wins anyway
+        precond_resolved = self.precond
+        if precond_resolved == "auto":
+            precond_resolved = "mg" if n > 12288 else "dense"
+        self._precond_resolved = precond_resolved
+
+        if precond_resolved == "mg":
             # O(nnz) multilevel complement preconditioner (100k-DOF path):
             # recursive Galerkin correction through FE-basis prolongations,
             # scale-consistent with the equilibration (ops/mg.py)
@@ -1119,14 +1224,45 @@ class Problem:
 
         core, opdata = self.getFRCore()
         jitted = jax.jit(core)
+        seg = self._call_segment()
 
         def fn(freqs, params):
-            return jitted(freqs, params, opdata)
+            freqs = np.asarray(freqs)
+            F = freqs.shape[0]
+            if seg is None or F <= seg:
+                return jitted(freqs, params, opdata)
+            # host-level segmentation: one device call per <= seg
+            # frequencies (the tunneled TPU runtime kills executions
+            # running longer than ~a minute, and a 100k-DOF 512-pt sweep
+            # is several).  The last segment is padded to keep one
+            # compiled shape.
+            outs = []
+            for lo in range(0, F, seg):
+                fs = freqs[lo:lo + seg]
+                pad = seg - fs.shape[0]
+                if pad:
+                    fs = np.concatenate([fs, np.repeat(fs[-1:], pad)])
+                y = jitted(jnp.asarray(fs), params, opdata)
+                outs.append(y[:y.shape[0] - pad] if pad else y)
+            return jnp.concatenate(outs, axis=0)
 
         fn.core = core
         fn.opdata = opdata
         self._fr_fn_memo = fn
         return fn
+
+    def _call_segment(self) -> int | None:
+        """Max frequencies per device call (None = unsegmented).
+
+        Big-DOF sweeps must be split across device executions: the axon
+        TPU runtime kills single executions beyond roughly a minute, and
+        frequency points are embarrassingly independent anyway."""
+        if jax.default_backend() == "cpu":
+            return None
+        n = self.n_free
+        if n < 30_000:
+            return None
+        return 64
 
     # ------------------------------------------------------------------
 
@@ -1184,7 +1320,8 @@ class Problem:
         self._check_band(frequencies)
         core, opdata = self.getFRCore()
         return LossFunction(
-            core, opdata, frequencies, reference_fr, func_type, scaling_params
+            core, opdata, frequencies, reference_fr, func_type,
+            scaling_params, call_seg=self._call_segment(),
         )
 
     def getResidualFunction(
@@ -1203,7 +1340,7 @@ class Problem:
         core, opdata = self.getFRCore()
         return ResidualFunction(
             core, opdata, frequencies, reference_fr, kind, scaling_params,
-            freq_chunk=freq_chunk,
+            freq_chunk=freq_chunk, call_seg=self._call_segment(),
         )
 
     # ------------------------------------------------------------------

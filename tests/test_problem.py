@@ -401,3 +401,54 @@ def test_mode_picture_both_paths(tmp_path):
     ps.getModePicture(150.0, ax=ax, params=theta)
     fig.savefig(tmp_path / "ms.png")
     plt.close("all")
+
+
+def test_call_segmentation_matches_unsegmented():
+    """Host-level call segmentation (the big-DOF TPU execution-time-limit
+    workaround) is exact: loss/grad/hessian and residual/Jacobian match the
+    single-call path, including the 'complex' residual's [re, im] layout
+    and a padded final segment."""
+    import jax
+    import jax.numpy as jnp
+    from plate_inverse_problem_tpu.models.problem import (
+        LossFunction, ResidualFunction)
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    geom = pip.Geometry("sh_i", acc,
+                        pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
+                        ny=1)
+    p = pip.Problem(geom, mat, acc, engine="mixed")
+    core, od = p.getFRCore()
+    freqs = np.linspace(60, 420, 11)          # 11 -> segments of 4 (pad 1)
+    th = np.asarray(p.parameters)
+    y = np.asarray(p.getFRFunction()(freqs, th)).astype(np.complex128)
+    th2 = jnp.asarray(th * 1.07)
+
+    lf0 = LossFunction(core, od, freqs, y, "MSE_LOG_AFC")
+    lf1 = LossFunction(core, od, freqs, y, "MSE_LOG_AFC", call_seg=4)
+    np.testing.assert_allclose(float(lf1(th2)), float(lf0(th2)), rtol=1e-9)
+    v0, g0 = lf0.value_and_grad(th2)
+    v1, g1 = lf1.value_and_grad(th2)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-8,
+        atol=1e-10 * float(np.abs(np.asarray(g0)).max()))
+    H0 = np.asarray(lf0.hessian(th2))
+    np.testing.assert_allclose(np.asarray(lf1.hessian(th2)), H0, rtol=1e-6,
+                               atol=1e-8 * float(np.abs(H0).max()))
+
+    for kind in ("log_afc", "complex"):
+        rf0 = ResidualFunction(core, od, freqs, y, kind=kind)
+        rf1 = ResidualFunction(core, od, freqs, y, kind=kind, call_seg=4)
+        r0, J0 = rf0.value_and_jac(th2)
+        r1, J1 = rf1.value_and_jac(th2)
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r0), rtol=1e-8,
+            atol=1e-10 * float(np.abs(np.asarray(r0)).max()),
+            err_msg=kind)
+        np.testing.assert_allclose(
+            np.asarray(J1), np.asarray(J0), rtol=1e-6,
+            atol=1e-8 * float(np.abs(np.asarray(J0)).max()), err_msg=kind)
+        np.testing.assert_allclose(
+            np.asarray(rf1(th2)), np.asarray(r0), rtol=1e-8,
+            atol=1e-10 * float(np.abs(np.asarray(r0)).max()))

@@ -25,6 +25,12 @@ def log(*a):
 _BASE_ARGS = None
 
 
+def _baseline_init(Kcsc, Mcsc, bK, fIn):
+    """Pool initializer: receives the CSC system via spawn-pickling."""
+    global _BASE_ARGS
+    _BASE_ARGS = (Kcsc, Mcsc, bK, fIn)
+
+
 def _baseline_solve(f):
     """One reference-recipe solve (sparse LU + triangular solves) — worker
     for the all-cores baseline pool."""
@@ -75,7 +81,10 @@ def main():
     # frequencies stay f64: the mixed engine squares them in f64, and an f32
     # omega alone costs ~3e-5 relative at resonance peaks
     fj = jnp.asarray(freqs)
-    th = jnp.asarray(np.asarray(p.parameters), p.precision.real)
+    # theta stays f64 too: the material transform evaluates in split f64,
+    # and an f32-truncated theta alone costs ~2e-6 relative at resonance
+    # peaks (coefficient rounding amplified by the modal Q)
+    th = jnp.asarray(np.asarray(p.parameters), jnp.float64)
 
     t0 = time.perf_counter()
     fr = fr_fn(fj, th)
@@ -143,24 +152,30 @@ def main():
     # frequencies so vs_baseline compares chip vs whole host, not chip vs
     # one core.
     import os as _os
-    n_workers = min(_os.cpu_count() or 1, 16)
+    n_cores = _os.cpu_count() or 1
+    n_workers = min(n_cores, 16)
     base_mc_solves_per_sec = base_solves_per_sec
+    baseline_label = f"scipy splu, 1 core (host has {n_cores})"
     if n_workers > 1:
         try:
             import multiprocessing as _mp
 
             n_jobs = 2 * n_workers
-            ctx = _mp.get_context("fork")
-            global _BASE_ARGS
-            _BASE_ARGS = (Kcsc, Mcsc, bK, fIn)
+            # 'spawn', not 'fork': forking after the TPU client holds its
+            # device lock can deadlock inside the child rather than raise
+            ctx = _mp.get_context("spawn")
             t0 = time.perf_counter()
-            with ctx.Pool(n_workers) as pool:
+            with ctx.Pool(n_workers, initializer=_baseline_init,
+                          initargs=(Kcsc, Mcsc, bK, fIn)) as pool:
                 pool.map(_baseline_solve, freqs[:n_jobs])
             base_mc_solves_per_sec = n_jobs / (time.perf_counter() - t0)
+            baseline_label = f"scipy splu pool, {n_workers}/{n_cores} cores"
             log(f"baseline (scipy splu, {n_workers} procs): "
                 f"{base_mc_solves_per_sec:.1f} solves/s")
         except Exception as err:
             log(f"multicore baseline skipped ({err})")
+    else:
+        log("single-core host: all-cores baseline == 1-thread baseline")
 
     # correctness cross-check at the readout level vs the f64 sparse-LU
     # oracle — includes the resonance peak (the hardest point)
@@ -201,6 +216,8 @@ def main():
             "compile_s": round(compile_s, 2),
             "baseline_solves_per_sec_1thread": round(base_solves_per_sec, 2),
             "baseline_solves_per_sec_allcores": round(base_mc_solves_per_sec, 2),
+            "baseline_label": baseline_label,
+            "host_cores": n_cores,
             "engine": p._engine(),
             "worst_rel_err_vs_f64_splu": float(rel),
             "checksum": checksum,

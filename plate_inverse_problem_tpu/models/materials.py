@@ -52,6 +52,47 @@ MODULI_ORDER = ("11", "12", "16", "22", "26", "66")
 # Classical lamination theory, closed form (replaces sympy at Material.py:660-741)
 # ---------------------------------------------------------------------------
 
+def _pair_mul(a, b):
+    """(re, im) pair product — split-complex arithmetic for f64-on-TPU."""
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def _pair_div(a, b):
+    d = b[0] * b[0] + b[1] * b[1]
+    return ((a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d)
+
+
+def _v2(x, companion: float = 1.0):
+    """Lift a scalar into a (2,) vector for f64-EXACT arithmetic on TPU.
+
+    The XLA:TPU backend compiles f64 elementwise chains whose outputs are
+    single elements (0-d or shape (1,)) through a lossy scalar path
+    (~2^-27 relative per op, measured: ``jit(lambda v: 1.0 - v*v)`` on a
+    0-d f64 is 8.4e-9 off); the same chains on >=2-element arrays are
+    exact to the f64-emulation precision (~1e-15).  Resonance Q-factors
+    amplify coefficient errors ~300x into the FRF, so the material
+    coefficient algebra must avoid the scalar path: every chain here runs
+    on (2,) vectors and extracts lane 0 (:func:`_s0`) only when assembling
+    the output arrays (scalar-times-vector products are full-size ops and
+    therefore safe).
+
+    The companion lane holds a DUMMY constant, not a broadcast copy —
+    XLA sinks broadcast-then-op back to the lossy scalar form, while a
+    genuinely different lane defeats the rewrite.  Pick ``companion`` so
+    every intermediate of the particular chain stays finite (e.g. 0.25
+    for Poisson ratios, keeping ``1 - nu12*nu21`` away from 0): non-finite
+    companion-lane values are discarded by ``_s0`` in the primal but turn
+    into NaN*0 contractions in reverse-mode AD.
+    """
+    x = jnp.asarray(x)
+    return jnp.concatenate([x[None], jnp.full((1,), companion, x.dtype)])
+
+
+def _s0(x):
+    """Extract lane 0 of a :func:`_v2` chain (pure data movement — exact)."""
+    return x[0]
+
+
 def _qbar_components(Q6: np.ndarray, theta_deg: float) -> np.ndarray:
     """Rotate a lamina stiffness Q (Voigt order [11,12,16,22,26,66]) by theta.
 
@@ -160,6 +201,78 @@ class Material(abc.ABC):
         """True when the complex moduli are (1 + i*beta) times a frequency-
         independent real vector — enables the exact modal solver fast path."""
         return True
+
+    # ----- split (re, im) transforms ------------------------------------
+    #
+    # complex128 is not a TPU type, so an f64-grade engine cannot evaluate
+    # the complex transforms on device in f64.  The split variants return
+    # (re, im) pairs computed in REAL arithmetic at the params' own dtype:
+    # f64 theta in -> f64-exact coefficients out.  (The f32/c64 coefficient
+    # path was measured to floor FRF accuracy at ~5e-6 near resonance
+    # peaks — the coefficients' f32 rounding is amplified by the resonance
+    # Q-factor, independent of how tightly the linear systems are solved.)
+
+    # position of beta in the parameter vector for (1 + i*beta)-structured
+    # families; None disables the exact scalar-loss split path
+    _loss_factor_index: int | None = None
+
+    def _real_coeff_transform(self, h: float) -> Callable:
+        """Real coefficient core for scalar-loss families: f(params, ...)
+        -> (A, B, D) REAL 6-vectors with complex coefficients
+        ``(1 + i*beta) * these``.  Overridden by the concrete families."""
+        raise NotImplementedError
+
+    def get_ABD_transform_split(self, h: float) -> Callable:
+        """f(theta, omega) -> ((Are, Aim), (Bre, Bim), (Dre, Dim)), all real
+        arrays in theta's dtype.  Exact at f64 for the built-in families;
+        custom materials fall back to their complex transform evaluated at
+        the platform precision (c64 on TPU — same accuracy as before)."""
+        if self.scalar_loss_factor and self._loss_factor_index is not None:
+            real_fn = self._real_coeff_transform(h)
+            bi = self._loss_factor_index
+
+            def _split(params, *args):
+                A, B, D = real_fn(params, *args)
+                b = params[bi]
+                return (A, b * A), (B, b * B), (D, b * D)
+
+            return _split
+
+        from ..config import default_precision
+
+        cf = self.get_ABD_transform(h)
+        rdt = default_precision().real
+
+        def _split_fallback(params, *args):
+            A, B, D = cf(jnp.asarray(params).astype(rdt), *args)
+            return ((jnp.real(A), jnp.imag(A)), (jnp.real(B), jnp.imag(B)),
+                    (jnp.real(D), jnp.imag(D)))
+
+        return _split_fallback
+
+    def get_D_transform_split(self, h: float) -> Callable:
+        """f(theta, omega) -> (Dre, Dim) real arrays (see
+        :meth:`get_ABD_transform_split`)."""
+        if self.scalar_loss_factor and self._loss_factor_index is not None:
+            real_fn = self._real_coeff_transform(h)
+            bi = self._loss_factor_index
+
+            def _split(params, *args):
+                _, _, D = real_fn(params, *args)
+                return D, params[bi] * D
+
+            return _split
+
+        from ..config import default_precision
+
+        cf = self.get_D_transform(h)
+        rdt = default_precision().real
+
+        def _split_fallback(params, *args):
+            D = cf(jnp.asarray(params).astype(rdt), *args)
+            return jnp.real(D), jnp.imag(D)
+
+        return _split_fallback
 
     # ----- constraints ----------------------------------------------------
 
@@ -280,6 +393,24 @@ class Isotropic(Material):
     def _get_param_tuple(self):
         return (self.E, self.G, self.beta)
 
+    _loss_factor_index = 2
+
+    def _real_coeff_transform(self, h: float) -> Callable:
+        def _real(params, *args, _h):
+            # (2,)-vector chains: see _v2 (TPU f64 scalar-path caveat)
+            E, G = _v2(params[0]), _v2(params[1])
+            nu = E / (2.0 * G) - 1.0
+            A = E * _h / (1.0 - nu * nu)
+            D = A * (_h * _h / 12.0)
+            nu0 = _s0(nu)
+            one = jnp.ones_like(nu0)
+            zero = jnp.zeros_like(nu0)
+            arr = jnp.stack([one, nu0, zero, one, zero,
+                             _s0((1.0 - nu) / 2.0)])
+            return _s0(A) * arr, jnp.zeros_like(arr), _s0(D) * arr
+
+        return Partial(_real, _h=h)
+
     def get_D_transform(self, h: float) -> Callable:
         def _transform(params, *args, _h):
             return _isotropic_D(params, _h)
@@ -333,6 +464,29 @@ class Orthotropic(Material):
 
     def _get_param_tuple(self):
         return (self.E1, self.E2, self.G12, self.nu12, self.beta)
+
+    _loss_factor_index = 4
+
+    def _real_coeff_transform(self, h: float) -> Callable:
+        def _real(params, *args, _h):
+            # (2,)-vector chains: see _v2 (TPU f64 scalar-path caveat);
+            # nu12's 0.25 companion keeps 1 - nu12*nu21 away from 0 in
+            # the dummy lane
+            E1, E2, G12 = (_v2(params[i]) for i in range(3))
+            nu12 = _v2(params[3], 0.25)
+            E_ratio = E2 / E1
+            nu21 = E_ratio * nu12
+            A11 = E1 * _h / (1.0 - nu12 * nu21)
+            D11 = A11 * (_h * _h / 12.0)
+            z = jnp.zeros_like(_s0(A11))
+            As = jnp.stack([_s0(A11), _s0(nu21 * A11), z,
+                            _s0(E_ratio * A11), z, _s0(G12 * _h)])
+            Ds = jnp.stack([_s0(D11), _s0(nu21 * D11), z,
+                            _s0(E_ratio * D11), z,
+                            _s0(G12 * (_h ** 3 / 12.0))])
+            return As, jnp.zeros_like(As), Ds
+
+        return Partial(_real, _h=h)
 
     def get_D_transform(self, h: float) -> Callable:
         def _transform(params, *args, _h):
@@ -462,6 +616,57 @@ class OrthotropicD4(Material):
 
         return Partial(_transform, _h=h)
 
+    @staticmethod
+    def _split_coeff_rows(params, _h):
+        """The D4 coefficient algebra in split (re, im) pair arithmetic —
+        complex128 is not a TPU type, so the exact-f64 evaluation runs on
+        real pairs.  Each component is a (2,)-vector chain (see _v2, the
+        TPU f64 scalar-path caveat); lane-1 companions (1, 1) make
+        ``|den|^2 = 5`` in the dummy lane, keeping it finite."""
+        p = [_v2(params[i]) for i in range(8)]
+        E1 = (p[0], p[0] * p[4])
+        E2 = (p[1], p[1] * p[5])
+        G12 = (p[2], p[2] * p[6])
+        nu12 = (p[3], p[3] * p[7])
+        E_ratio = _pair_div(E2, E1)
+        nu21 = _pair_mul(E_ratio, nu12)
+        nn = _pair_mul(nu12, nu21)
+        den = (1.0 - nn[0], -nn[1])
+        A11 = _pair_div((E1[0] * _h, E1[1] * _h), den)
+        A12 = _pair_mul(nu21, A11)
+        A22 = _pair_mul(E_ratio, A11)
+        A66 = (G12[0] * _h, G12[1] * _h)
+        hd = _h**2 / 12.0
+        D11 = (A11[0] * hd, A11[1] * hd)
+        D12 = _pair_mul(nu21, D11)
+        D22 = _pair_mul(E_ratio, D11)
+        D66 = (G12[0] * _h**3 / 12.0, G12[1] * _h**3 / 12.0)
+        z = jnp.zeros_like(_s0(A11[0]))
+
+        def rows(c11, c12, c22, c66):
+            return (jnp.stack([_s0(c11[0]), _s0(c12[0]), z, _s0(c22[0]),
+                               z, _s0(c66[0])]),
+                    jnp.stack([_s0(c11[1]), _s0(c12[1]), z, _s0(c22[1]),
+                               z, _s0(c66[1])]))
+
+        return rows(A11, A12, A22, A66), rows(D11, D12, D22, D66)
+
+    def get_ABD_transform_split(self, h: float) -> Callable:
+        def _split(params, *args, _h):
+            (Are, Aim), (Dre, Dim) = OrthotropicD4._split_coeff_rows(
+                params, _h)
+            zB = jnp.zeros_like(Are)
+            return (Are, Aim), (zB, zB), (Dre, Dim)
+
+        return Partial(_split, _h=h)
+
+    def get_D_transform_split(self, h: float) -> Callable:
+        def _split(params, *args, _h):
+            _, (Dre, Dim) = OrthotropicD4._split_coeff_rows(params, _h)
+            return Dre, Dim
+
+        return Partial(_split, _h=h)
+
 
 class SOL(Orthotropic):
     """Simple Orthotropic Laminate: identical unidirectional plies at given
@@ -478,9 +683,23 @@ class SOL(Orthotropic):
 
     @staticmethod
     def _q_vector(params):
-        E1, E2, G12, nu12 = params[0], params[1], params[2], params[3]
-        den = 1 - E2 / E1 * nu12**2
-        return jnp.array([E1 / den, nu12 * E2 / den, 0.0, E2 / den, 0.0, G12])
+        # (2,)-vector chains: see _v2 (TPU f64 scalar-path caveat)
+        E1, E2, G12 = _v2(params[0]), _v2(params[1]), _v2(params[2])
+        nu12 = _v2(params[3], 0.25)
+        den = 1.0 - (E2 / E1) * (nu12 * nu12)
+        z = jnp.zeros_like(_s0(den))
+        return jnp.stack([_s0(E1 / den), _s0(nu12 * E2 / den), z,
+                          _s0(E2 / den), z, _s0(G12)])
+
+    def _real_coeff_transform(self, h: float) -> Callable:
+        MA, MB, MD = q_to_abd_matrices(self.angles, h)
+
+        def _real(params, *args, _MA, _MB, _MD):
+            Q = SOL._q_vector(params)
+            return _MA @ Q, _MB @ Q, _MD @ Q
+
+        return Partial(_real, _MA=jnp.asarray(MA), _MB=jnp.asarray(MB),
+                       _MD=jnp.asarray(MD))
 
     def get_ABD_transform(self, h: float) -> Callable:
         MA, MB, MD = q_to_abd_matrices(self.angles, h)
@@ -535,12 +754,27 @@ class SymmetricalSOL(SOL):
 
     @staticmethod
     def _q_vector4(params):
-        E1 = params[0]
-        E2 = params[0]
-        G12 = params[1]
-        nu12 = params[2]
-        den = 1 - E2 / E1 * nu12**2
-        return jnp.array([E1 / den, nu12 * E2 / den, 0.0, E2 / den, 0.0, G12])
+        # (2,)-vector chains: see _v2 (TPU f64 scalar-path caveat)
+        E1 = _v2(params[0])
+        E2 = E1
+        G12 = _v2(params[1])
+        nu12 = _v2(params[2], 0.25)
+        den = 1.0 - (E2 / E1) * (nu12 * nu12)
+        z = jnp.zeros_like(_s0(den))
+        return jnp.stack([_s0(E1 / den), _s0(nu12 * E2 / den), z,
+                          _s0(E2 / den), z, _s0(G12)])
+
+    _loss_factor_index = 3
+
+    def _real_coeff_transform(self, h: float) -> Callable:
+        MA, MB, MD = q_to_abd_matrices(self.angles, h)
+
+        def _real(params, *args, _MA, _MB, _MD):
+            Q = SymmetricalSOL._q_vector4(params)
+            return _MA @ Q, _MB @ Q, _MD @ Q
+
+        return Partial(_real, _MA=jnp.asarray(MA), _MB=jnp.asarray(MB),
+                       _MD=jnp.asarray(MD))
 
     def get_ABD_transform(self, h: float) -> Callable:
         MA, MB, MD = q_to_abd_matrices(self.angles, h)

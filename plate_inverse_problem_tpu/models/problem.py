@@ -330,8 +330,23 @@ class Problem:
         chunk: int = 16,                # direct-engine frequency chunk
         n_modes: int | None = None,     # optional modal truncation
         f_max: float = 600.0,           # band edge for the mixed engine [Hz]
-        n_refine: int = 20,             # mixed-engine Krylov cap (adaptive
-                                        # GMRES dimension, ops/mixed.py)
+        n_refine: int = 16,             # mixed-engine TOTAL Krylov budget
+                                        # (spent as restarted cycles,
+                                        # ops/mixed.py).  Tuned on-chip at
+                                        # the bench tier: 16 = 2x8 cycles,
+                                        # 3647 solves/s at 8.6e-8 nominal /
+                                        # 1.6e-6 perturbed-theta accuracy;
+                                        # 20 = 3 cycles trades ~40% speed
+                                        # for 4e-7 perturbed-theta accuracy
+        k_cycle: int | None = None,     # mixed-engine FGMRES cycle length
+                                        # (None = tier default); small
+                                        # cycles keep the basis tensors and
+                                        # the compiled graph small, f64
+                                        # restarts supply the depth
+        basis_f32: bool | None = None,  # mixed-engine Krylov basis storage
+                                        # (None = tier default: f32 MXU
+                                        # orthogonalization on the dense-
+                                        # precond tier, f64 on the mg tier)
         refine_tol: float = 3e-7,       # mixed-engine residual target; the
                                         # resonance-amplification scaling in
                                         # ops/mixed.py makes this track the
@@ -367,6 +382,8 @@ class Problem:
         self.n_modes = n_modes
         self.f_max = f_max
         self.n_refine = n_refine
+        self.k_cycle = k_cycle
+        self.basis_f32 = basis_f32
         self.refine_tol = float(refine_tol)
         if precond not in ("auto", "dense", "mg"):
             raise ValueError(
@@ -1044,7 +1061,11 @@ class Problem:
             base["Kref32"] = Kref32
 
         if self.is_symmetric_path:
-            transform = self.material.get_D_transform(h)
+            # split (re, im) transform evaluated at f64 theta: the f32/c64
+            # coefficient path floors FRF accuracy at ~5e-6 near resonance
+            # peaks (coefficient rounding amplified by the resonance Q),
+            # independent of solver tolerance
+            transform = self.material.get_D_transform_split(h)
             opdata = base | {
                 "Ks": jnp.asarray(op.Ks * ss[None, :], jnp.float64),
                 "fKs": jnp.asarray(pvec(op.fKs * scale_vec[None, :]),
@@ -1056,10 +1077,10 @@ class Problem:
 
             def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
-                params = jnp.asarray(params).astype(rdt)
-                D = transform(params, omegas[0].astype(rdt))
-                Dre = jnp.real(D).astype(jnp.float64)
-                Dim = jnp.imag(D).astype(jnp.float64)
+                params = jnp.asarray(params).astype(jnp.float64)
+                Dre, Dim = transform(params, omegas[0])
+                Dre = Dre.astype(jnp.float64)
+                Dim = Dim.astype(jnp.float64)
                 K_re = jnp.einsum("k,kn->n", Dre, od["Ks"])
                 K_im = jnp.einsum("k,kn->n", Dim, od["Ks"])
                 bK_re = jnp.einsum("k,kn->n", Dre, od["fKs"])
@@ -1073,6 +1094,7 @@ class Problem:
                     n_refine=n_refine, refine_tol=self.refine_tol,
                     freq_chunk=freq_chunk,
                     ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
+                    k_cycle=self.k_cycle, basis_f32=self.basis_f32,
                     **_mg_kwargs(od),
                 )
                 y_re = od["c0"] + U_re @ od["c"]
@@ -1082,7 +1104,8 @@ class Problem:
             return core, opdata
 
         # ---- 3-field path --------------------------------------------------
-        transform = self.material.get_ABD_transform(h)
+        # split (re, im) transform at f64 theta — see the symmetric path note
+        transform = self.material.get_ABD_transform_split(h)
         acc = self.accelerometer
         eff = acc.effective_height * acc.height
         ts = acc.transverse_sensitivity
@@ -1116,11 +1139,10 @@ class Problem:
 
         def core(freqs, params, od):
             omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
-            params = jnp.asarray(params).astype(rdt)
-            Av, Bv, Dv = transform(params, omegas[0].astype(rdt))
-            coeffs = jnp.stack([Av, Bv, Dv])  # (3, 6) complex
-            Cre = jnp.real(coeffs).astype(jnp.float64)
-            Cim = jnp.imag(coeffs).astype(jnp.float64)
+            params = jnp.asarray(params).astype(jnp.float64)
+            (Are, Aim), (Bre, Bim), (Dre, Dim) = transform(params, omegas[0])
+            Cre = jnp.stack([Are, Bre, Dre]).astype(jnp.float64)  # (3, 6)
+            Cim = jnp.stack([Aim, Bim, Dim]).astype(jnp.float64)
             K_re = jnp.einsum("mk,mkn->n", Cre, od["ABD"])
             K_im = jnp.einsum("mk,mkn->n", Cim, od["ABD"])
             bK_re = jnp.einsum("mk,mkn->n", Cre, od["fABD"])
@@ -1134,6 +1156,7 @@ class Problem:
                 n_refine=n_refine, refine_tol=self.refine_tol,
                 freq_chunk=freq_chunk,
                 ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
+                k_cycle=self.k_cycle, basis_f32=self.basis_f32,
                 **_mg_kwargs(od),
             )
 

@@ -166,11 +166,14 @@ def _residual_general(K_mv, Ki_mv, M_mv, sign, om2_64, b_re, b_im,
 # complex Givens rotations — pure scalar f64 arithmetic.
 
 _DEBUG_TRACE = False  # print per-iteration GMRES residuals (diagnostics)
-_PRECOND_REFINE = 3   # f32 refinement rounds inside the dense preconditioner
-                      # (measured on-chip at n=5428/512-pt sweep:
-                      #  0 -> 72, 1 -> 114, 2 -> 132, 3 -> 159, 4 -> 156
-                      #  solves/s/chip — each round squares down the
-                      #  eps32*kappa error of the f32 inverse)
+_PRECOND_REFINE = 1   # f32 refinement rounds inside the dense preconditioner
+                      # (each round squares down the eps32*kappa error of
+                      #  the f32 inverse for one extra GEMM + f32 SpMV.
+                      #  Tuned on-chip at the bench tier n=1466/512-pt
+                      #  sweep with the restarted f32-basis FGMRES:
+                      #  0 -> 3366, 1 -> 3667, 2 -> 3259 solves/s at equal
+                      #  delivered accuracy — beyond one round the GEMM
+                      #  cost outweighs the iterations it saves)
 _MG_REFINE = 1        # refinement rounds around the two-grid/multilevel
                       # cycle (each costs a full extra cycle — pricier
                       # than the dense path's GEMM)
@@ -181,15 +184,21 @@ def _cmul(a, b):
 
 
 def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
-            anchor: bool = True):
-    """Flexible (right-preconditioned) GMRES on split-complex f64 pairs.
+            anchor: bool = True, n_cycles: int = 1, basis_f32: bool = False,
+            r0=None, final_correct=None):
+    """Flexible (right-preconditioned) GMRES on split-complex f64 pairs,
+    restarted: up to ``n_cycles`` cycles of ``k_max`` iterations each.
 
     ``bb``/``x0``: (2, n) stacked re/im.  ``A_apply``/``P_apply``:
     (2, n) -> (2, n) linear maps (exact f64 operator / band+complement
-    preconditioner).  Runs until the TRUE residual norm (right
-    preconditioning preserves it) drops below
-    ``max(tol_rel * |r0|, sqrt(tol_abs2))`` or ``k_max`` iterations.
-    The INITIAL-residual-relative criterion is deliberate: the rhs here
+    preconditioner).  Each cycle runs until its residual ESTIMATE drops
+    below ``max(tol, (cycle floor))`` or ``k_max`` iterations; between
+    cycles the TRUE f64 residual is evaluated (one extra operator
+    application) and the outer loop stops when it is below
+    ``max(tol_rel * anchor, sqrt(tol_abs2))`` — so the exit criterion is
+    always a genuine f64 residual, never an estimate (the estimate's
+    agreement with the truth floors at the basis precision).  The
+    INITIAL-residual-relative criterion is deliberate: the rhs here
     carries stiffness-lift components of operator magnitude, so a
     b-relative test is orders too loose for the complement correction the
     iteration is responsible for (x0 already holds the exact band part).
@@ -204,34 +213,105 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
     Hessenberg relation and reconstructs ``x = x0 + Z y`` — exact by
     construction for any P.
 
+    ``basis_f32``: store the Krylov/preconditioned bases (V, Z) in f32 and
+    orthogonalize with f32 MXU dots.  The f64 einsum 'dot' on TPU is a
+    materialized multiply+reduce running at a fraction of memory speed
+    (measured 95 ms per CGS2 round at k=20, 512 lanes, n=1466 — the
+    dominant sweep cost); the f32 MXU version is ~20x faster.  Precision
+    placement: the OPERATOR application stays f64 (the subspace is built
+    from exact matvecs) and the iterates/true residuals stay f64 — only
+    the subspace REPRESSENTATION is f32, which caps the residual gain at
+    ~3e-7 relative PER CYCLE; the f64 restart squares that down, exactly
+    like classic GMRES-IR.  (This is NOT the all-f32 inner solver that
+    floors at eps32*kappa_eff and cannot converge at 20k+ DOF — the
+    matvec here is exact.)
+
     Orthogonalization is CGS2 (two rounds of classical Gram-Schmidt):
     batched panel matmuls instead of sequential modified-GS dots — the
     TPU-friendly choice, with the stability of reorthogonalization.
     Unset basis rows are zero, so the batched projections are naturally
     masked — no index juggling inside the while_loop.
+
+    Reference counterpart being replaced: the per-frequency UMFPACK
+    numeric factorize+solve loop (InnerState.h:164-308).
     """
     f64 = bb.dtype  # works at f32 too (the inner GMRES-IR solver)
-    r0 = bb - A_apply(x0)
-    beta0 = jnp.sqrt(jnp.sum(r0 * r0))
+    bd = jnp.float32 if basis_f32 else f64
     n = bb.shape[-1]
     tiny = jnp.asarray(1e-300 if f64 == jnp.float64 else 1e-30, f64)
+    # smallest relative residual gain a single cycle can deliver given the
+    # basis storage precision; stopping the ESTIMATE there avoids burning
+    # iterations the subspace cannot convert into true-residual progress
+    floor = 3e-7 if basis_f32 else (1e-15 if f64 == jnp.float64 else 3e-7)
 
-    V = jnp.zeros((k_max + 1, 2, n), f64).at[0].set(
-        r0 / jnp.maximum(beta0, tiny))
-    Z = jnp.zeros((k_max, 2, n), f64)
-    R = jnp.eye(k_max, dtype=f64)[:, :, None] * jnp.asarray([1.0, 0.0], f64)
-    g = jnp.zeros((k_max + 1, 2), f64).at[0, 0].set(beta0)
-    cs = jnp.ones((k_max,), f64)
-    sn = jnp.zeros((k_max, 2), f64)
+    def cycle(x_in, r0, tol2_in, first: bool, need_true: bool):
+        beta0 = jnp.sqrt(jnp.sum(r0 * r0))
+        V = jnp.zeros((k_max + 1, 2, n), bd).at[0].set(
+            (r0 / jnp.maximum(beta0, tiny)).astype(bd))
+        Z = jnp.zeros((k_max, 2, n), bd)
+        R = jnp.eye(k_max, dtype=f64)[:, :, None] \
+            * jnp.asarray([1.0, 0.0], f64)
+        g = jnp.zeros((k_max + 1, 2), f64).at[0, 0].set(beta0)
+        cs = jnp.ones((k_max,), f64)
+        sn = jnp.zeros((k_max, 2), f64)
+        floor2 = (floor * beta0) ** 2
+
+        return _pgmres_cycle_body(
+            A_apply, P_apply, bb, x_in, r0, beta0, V, Z, R, g, cs, sn,
+            tol2_in, floor2, tol_rel, tol_abs2, k_max, anchor and first,
+            need_true, f64, bd, tiny)
+
+    if r0 is None:
+        r0 = bb - A_apply(x0)
+    tol2_0 = jnp.maximum((tol_rel * jnp.sqrt(jnp.sum(r0 * r0))) ** 2,
+                         tol_abs2)
+    need_true = n_cycles > 1 or final_correct is not None
+    x, r, rn2, tol2 = cycle(x0, r0, tol2_0, True, need_true)
+    if n_cycles > 1:
+        def o_body(st):
+            x, r, rn2, tol2, c = st
+            x, r, rn2, tol2 = cycle(x, r, tol2, False, True)
+            return x, r, rn2, tol2, c + 1
+
+        def o_cond(st):
+            *_, rn2, tol2, c = st
+            return jnp.logical_and(rn2 > tol2, c < n_cycles)
+
+        x, r, rn2, tol2, c_fin = jax.lax.while_loop(
+            o_cond, o_body, (x, r, rn2, tol2, jnp.int32(1)))
+        if _DEBUG_TRACE:
+            jax.debug.print("pgmres cycles={c} true_rn={r} tol={t}",
+                            c=c_fin, r=jnp.sqrt(rn2), t=jnp.sqrt(tol2))
+    if final_correct is not None:
+        # final defect correction through the exact (band-resolvent) part
+        # of the preconditioner: the norm-based exit cannot see WHERE the
+        # residual lives, and residual mass in near-resonant band
+        # directions is amplified by the modal Q into the solution.  The
+        # resolvent kills exactly those components of the TRUE residual
+        # (already in hand from the restart bookkeeping) in f64, for one
+        # O(n m) panel pass — no extra operator application.
+        x = x + final_correct(r)
+    return x
+
+
+def _pgmres_cycle_body(A_apply, P_apply, bb, x_in, r0, beta0, V, Z, R, g,
+                       cs, sn, tol2_in, floor2, tol_rel, tol_abs2,
+                       k_max: int, anchor: bool, need_true: bool, f64, bd,
+                       tiny):
+    """One FGMRES cycle: Arnoldi + Givens LSQ + reconstruction.
+
+    Returns (x_new, r_new, rn2, tol2); ``r_new``/``rn2`` are the TRUE f64
+    residual when ``need_true`` (one extra operator application), else the
+    incoming residual and the Givens estimate."""
+    tinyb = jnp.asarray(1e-30, bd) if bd == jnp.float32 else tiny
 
     def cdots(V, w):
         """Complex dots <V_k, w> for every basis row in ONE pass over V.
 
-        The f64 'dot' on TPU is a materialized multiply+reduce, so each
-        einsum re-reads the whole (k, 2, n) basis — fusing the four
-        component contractions into one quarters the dominant
-        orthogonalization cost (measured 320 ms -> ~80 ms per CGS round
-        at n=82k, 32 lanes)."""
+        In f32 these are true MXU contractions; in f64 the einsum is a
+        materialized multiply+reduce, where fusing the four component
+        contractions into one pass quarters the dominant cost (measured
+        320 ms -> ~80 ms per CGS round at n=82k, 32 lanes)."""
         t = jnp.einsum("kcn,dn->kcd", V, w)
         re = t[:, 0, 0] + t[:, 1, 1]
         im = t[:, 0, 1] - t[:, 1, 0]
@@ -248,14 +328,15 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
         V, Z, R, g, cs, sn, j, _, tol2 = state
         z = P_apply(V[j])
         Z = Z.at[j].set(z)
-        w = A_apply(z)
+        w = A_apply(z.astype(f64)).astype(bd)
         h1re, h1im = cdots(V, w)
         w = csaxpy(V, h1re, h1im, w)
         h2re, h2im = cdots(V, w)          # CGS2 reorthogonalization
         w = csaxpy(V, h2re, h2im, w)
-        hre, him = h1re + h2re, h1im + h2im
-        hlast = jnp.sqrt(jnp.sum(w * w))
-        V = V.at[j + 1].set(w / jnp.maximum(hlast, tiny))
+        hre = (h1re + h2re).astype(f64)
+        him = (h1im + h2im).astype(f64)
+        hlast = jnp.sqrt(jnp.sum(w * w)).astype(f64)
+        V = V.at[j + 1].set(w / jnp.maximum(hlast.astype(bd), tinyb))
 
         # apply the accumulated rotations to the new column (rotations
         # beyond the current step are identity, so an unmasked scan is
@@ -334,11 +415,14 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
 
     def cond(state):
         *_, j, rn2, tol2 = state
-        return jnp.logical_and(j < k_max, rn2 > tol2)
+        # the estimate cannot certify progress below the basis-precision
+        # floor — stop there and let the f64 outer restart take over
+        return jnp.logical_and(j < k_max,
+                               rn2 > jnp.maximum(tol2, floor2))
 
-    tol2_0 = jnp.maximum((tol_rel * beta0) ** 2, tol_abs2)
-    state = (V, Z, R, g, cs, sn, jnp.int32(0), beta0 * beta0, tol2_0)
-    V, Z, R, g, cs, sn, j_fin, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (V, Z, R, g, cs, sn, jnp.int32(0), beta0 * beta0, tol2_in)
+    V, Z, R, g, cs, sn, j_fin, rn2_est, tol2 = jax.lax.while_loop(
+        cond, body, state)
 
     # inactive rows: R stayed identity, but g[j_fin] holds the residual —
     # mask it out so the back-substitution returns y = 0 there
@@ -359,19 +443,21 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
 
     y = jax.lax.fori_loop(0, k_max, backsub, jnp.zeros((k_max, 2), f64))
 
-    xc0 = jnp.einsum("k,kn->n", y[:, 0], Z[:, 0]) \
-        - jnp.einsum("k,kn->n", y[:, 1], Z[:, 1])
-    xc1 = jnp.einsum("k,kn->n", y[:, 0], Z[:, 1]) \
-        + jnp.einsum("k,kn->n", y[:, 1], Z[:, 0])
-    x = x0 + jnp.stack([xc0, xc1])
+    yb = y.astype(bd)
+    xc0 = jnp.einsum("k,kn->n", yb[:, 0], Z[:, 0]) \
+        - jnp.einsum("k,kn->n", yb[:, 1], Z[:, 1])
+    xc1 = jnp.einsum("k,kn->n", yb[:, 0], Z[:, 1]) \
+        + jnp.einsum("k,kn->n", yb[:, 1], Z[:, 0])
+    x = x_in + jnp.stack([xc0, xc1]).astype(f64)
     if _DEBUG_TRACE:
-        rf = bb - A_apply(x)
         jax.debug.print(
-            "gmres done j={j} est_rn={e} true_rn={t} |y|={y}",
-            j=j_fin, e=jnp.sqrt(jnp.abs(g[jnp.minimum(j_fin, k_max - 1), 0])**2
-                                + jnp.abs(g[jnp.minimum(j_fin, k_max - 1), 1])**2),
-            t=jnp.sqrt(jnp.sum(rf * rf)), y=jnp.linalg.norm(y))
-    return x
+            "gmres cycle j={j} est_rn={e}",
+            j=j_fin, e=jnp.sqrt(rn2_est))
+    if need_true:
+        r_new = bb - A_apply(x)
+        rn2 = jnp.sum(r_new * r_new)
+        return x, r_new, rn2, tol2
+    return x, r0, rn2_est, tol2
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +467,8 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 16, refine_tol: float = 3e-7,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
-                ki_proportional: bool = False, K_ref32=None):
+                ki_proportional: bool = False, K_ref32=None,
+                k_cycle: int | None = None, basis_f32: bool | None = None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -515,6 +602,39 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
     MZ64 = M_mv(Zw64.T).T                              # (n, m) M-weighted
 
+    # projected operator panels: A (x0 = Zw y) evaluates through these m-wide
+    # f64 matmuls instead of a full scatter pass — the initial residual of
+    # every lane costs O(n m) instead of O(nnz * batch)
+    KZw64 = KW.T @ Qw                                  # (n, m) = K Zw
+    if not ki_proportional:
+        KiZw64 = Ki_mv(Zw64.T).T                       # (n, m) = K_im Zw
+
+    # ---- FGMRES shape knobs (tier-tuned) --------------------------------
+    # n_refine is the TOTAL Krylov budget; it is spent as restarted cycles
+    # of k_cycle iterations.  Small cycles keep the (B, k, 2, n) basis
+    # tensors (the dominant memory traffic) small and the compiled graph
+    # short; the f64 outer restarts supply unlimited depth.
+    if basis_f32 is None:
+        # f32 basis storage is safe where eps32 * kappa(equilibrated K)
+        # stays well below 1 (the dense-preconditioner tier); the band/MG
+        # tiers keep the f64 basis (measured: f32 inner representations
+        # stall at 20k+ DOF)
+        basis_f32 = mg is None
+    if k_cycle is None:
+        k_cycle = 8
+    k_cycle = max(1, min(int(k_cycle), int(n_refine)))
+    n_cycles = -(-int(n_refine) // k_cycle)
+    if basis_f32:
+        # a single f32-basis cycle floors at ~3e-7 relative; targets beyond
+        # that need at least one f64 outer restart.  Spare cycles are free
+        # at runtime (the outer while_loop exits on the TRUE residual), so
+        # always allow the restart rather than silently capping accuracy.
+        n_cycles = max(n_cycles, 2)
+
+    if basis_f32:
+        Zw32 = Zw64.astype(jnp.float32)
+        MZ32 = MZ64.astype(jnp.float32)
+
     if mg is not None and "tg_band0" in mg:
         # band tier: scatter/gather-free symmetric two-grid cycle
         from .band import band_mv
@@ -601,7 +721,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             """
             sb = sign * beta64
 
-            def band_solve_f64(r_re, r_im):
+            def band_coeffs_f64(r_re, r_im):
                 q_re = Zw64.T @ r_re
                 q_im = Zw64.T @ r_im
                 dre = lam_w - om2
@@ -609,7 +729,30 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 den = dre * dre + dim * dim
                 y_re = (q_re * dre + q_im * dim) / den
                 y_im = (q_im * dre - q_re * dim) / den
+                return y_re, y_im
+
+            def band_solve_f64(r_re, r_im):
+                y_re, y_im = band_coeffs_f64(r_re, r_im)
                 return Zw64 @ y_re, Zw64 @ y_im
+
+            def band_start(bbs):
+                """Band-resolvent start x0 AND its exact A x0, both through
+                the projected (n, m) panels — no scatter pass for the
+                initial residual."""
+                y_re, y_im = band_coeffs_f64(bbs[0], bbs[1])
+                x0 = jnp.stack([Zw64 @ y_re, Zw64 @ y_im])
+                KZy = jnp.stack([KZw64 @ y_re, KZw64 @ y_im])
+                MZy = jnp.stack([MZ64 @ y_re, MZ64 @ y_im])
+                if ki_proportional:
+                    Ax0 = jnp.stack(
+                        [KZy[0] - sb * KZy[1] - om2 * MZy[0],
+                         KZy[1] + sb * KZy[0] - om2 * MZy[1]])
+                else:
+                    KiZy = jnp.stack([KiZw64 @ y_re, KiZw64 @ y_im])
+                    Ax0 = jnp.stack(
+                        [KZy[0] - sign * KiZy[1] - om2 * MZy[0],
+                         KZy[1] + sign * KiZy[0] - om2 * MZy[1]])
+                return x0, Ax0
 
             def A_apply(uu):
                 """Exact f64 operator on a (2, n) re/im stack, one fused
@@ -641,6 +784,29 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             def P_apply(rr):
                 return P_common(rr, band_stack, MZ64, Zw64, precond)
 
+            if basis_f32:
+                # whole preconditioner in f32 — it only steers the Krylov
+                # subspace; the f64 resolvent denominators are computed in
+                # f64 first (cancellation near lam ~ om^2) then cast, and
+                # the loss factor floors |den| at ~beta*lam so the f32
+                # quotient is safe
+                dre32 = (lam_w - om2).astype(jnp.float32)
+                dim32 = (sb * lam_w).astype(jnp.float32)
+                den32 = dre32 * dre32 + dim32 * dim32
+
+                def band_stack32(rr):
+                    q = Zw32.T @ rr.T                     # (m, 2)
+                    y_re = (q[:, 0] * dre32 + q[:, 1] * dim32) / den32
+                    y_im = (q[:, 1] * dre32 - q[:, 0] * dim32) / den32
+                    return jnp.stack([Zw32 @ y_re, Zw32 @ y_im])
+
+                def P_apply32(rr):
+                    return P_common(rr, band_stack32, MZ32, Zw32, precond32)
+
+                P_use = P_apply32
+            else:
+                P_use = P_apply
+
             # amplification-aware residual target: forward error ~
             # kappa(A) * relative residual, and near a resonance
             # kappa ~ 1/beta (~300) — tighten by the band-computable
@@ -657,9 +823,11 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             def slv(mv_, bb):
                 bb_re, bb_im = bb
                 bbs = jnp.stack([bb_re, bb_im])
-                x0 = band_stack(bbs)
-                u = _pgmres(A_apply, P_apply, bbs, x0, tol_eff, 0.0,
-                            int(n_refine))
+                x0, Ax0 = band_start(bbs)
+                u = _pgmres(A_apply, P_use, bbs, x0, tol_eff, 0.0,
+                            k_cycle, n_cycles=n_cycles,
+                            basis_f32=basis_f32, r0=bbs - Ax0,
+                            final_correct=band_stack)
                 return (u[0], u[1])
 
             return slv

@@ -166,3 +166,38 @@ def test_material_factory_errors():
         get_material(100.0, "isotropic", WRONG=1.0)
     with pytest.raises(ValueError):
         get_material(100.0, "sol", E1=1.0)  # missing angles
+
+
+def _assert_split_matches(m, h):
+    """Split (re, im) transforms must agree with the complex transforms at
+    f64 for every family (they are the exact-f64 device path — complex128 is
+    not a TPU type)."""
+    th = np.asarray(m.get_parameters(), np.float64)
+    A, B, D = (np.asarray(x) for x in m.get_ABD_transform(h)(th, 100.0))
+    (Ar, Ai), (Br, Bi), (Dr, Di) = m.get_ABD_transform_split(h)(th, 100.0)
+    np.testing.assert_allclose(np.asarray(Ar) + 1j * np.asarray(Ai), A,
+                               rtol=1e-14, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(Br) + 1j * np.asarray(Bi), B,
+                               rtol=1e-14, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Dr) + 1j * np.asarray(Di), D,
+                               rtol=1e-14, atol=1e-300)
+    if m.is_mps:
+        Dc = np.asarray(m.get_D_transform(h)(th, 100.0))
+        Dr2, Di2 = m.get_D_transform_split(h)(th, 100.0)
+        np.testing.assert_allclose(np.asarray(Dr2) + 1j * np.asarray(Di2),
+                                   Dc, rtol=1e-14, atol=1e-300)
+
+
+@pytest.mark.parametrize("make", [
+    lambda: Isotropic(7920.0, E=200e9, G=75e9, beta=0.003),
+    lambda: Orthotropic(1600.0, E1=150e9, E2=9e9, G12=5e9, nu12=0.3,
+                        beta=0.01),
+    lambda: OrthotropicD4(1600.0, E1=150e9, E2=9e9, G12=5e9, nu12=0.3,
+                          b1=0.01, b2=0.02, b3=0.015, b4=0.005),
+    lambda: SOL(1600.0, [0.0, 45.0, 45.0, 0.0], E1=150e9, E2=9e9, G12=5e9,
+                nu12=0.3, beta=0.01),
+    lambda: SymmetricalSOL(1600.0, [0.0, 90.0, 90.0, 0.0], E1=150e9,
+                           G12=5e9, nu12=0.3, beta=0.01),
+], ids=["iso", "ortho", "orthoD4", "sol", "ssol"])
+def test_split_transform_matches_complex(make):
+    _assert_split_matches(make(), 2e-3)

@@ -4,7 +4,8 @@ The reference persists optimization *histories* (npz archives + text reports,
 Problem.py:865-912) but cannot resume a run mid-flight (SURVEY §5).  This
 module adds restartable checkpoints for long trust-region / GD runs: the full
 optimizer state (current x, step sizes, radii, histories) round-trips through
-an orbax checkpoint when available, with a portable npz fallback.
+a portable npz + json sidecar (no orbax dependency — the state is a flat
+dict of host arrays/scalars, which npz serializes losslessly).
 """
 from __future__ import annotations
 

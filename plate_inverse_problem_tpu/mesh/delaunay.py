@@ -270,7 +270,11 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
             points = np.concatenate([points[:nb], points[nb:][d >= 0.5 * h]])
         tris = _keep_inside(loops, points, _triangulate(points))
 
-    # Laplacian smoothing of interior points (boundary fixed)
+    # Laplacian smoothing of interior points (boundary fixed).  Each pass
+    # re-triangulates, which can re-break a recovered border segment when a
+    # smoothed interior point crowds the boundary — a silently dropped
+    # segment would silently drop its label (e.g. the clamped edge), so a
+    # pass that breaks recovery is rolled back and smoothing stops there.
     for _ in range(smooth):
         V = points.shape[0]
         e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
@@ -284,9 +288,13 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
         interior = np.zeros(V, bool)
         interior[nb:] = True
         upd = acc[interior] / cnt[interior, None]
+        prev_points, prev_tris = points, tris
         points = points.copy()
         points[interior] = upd
         tris = _keep_inside(loops, points, _triangulate(points))
+        if has_all_segments(tris):
+            points, tris = prev_points, prev_tris
+            break
 
     # remove unused points (outside-removal can orphan none, but be safe)
     used = np.zeros(points.shape[0], bool)

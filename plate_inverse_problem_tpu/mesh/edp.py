@@ -15,6 +15,8 @@ Expressions are evaluated in a restricted numpy namespace (``cos``,
 """
 from __future__ import annotations
 
+import ast
+import operator
 import re
 
 import numpy as np
@@ -22,16 +24,64 @@ import numpy as np
 from .core import TriangleMesh
 from .delaunay import build_mesh
 
-_SAFE = {
+_SAFE_FUNCS = {
     "cos": np.cos, "sin": np.sin, "tan": np.tan, "sqrt": np.sqrt,
     "exp": np.exp, "log": np.log, "abs": np.abs, "atan2": np.arctan2,
-    "pi": np.pi, "min": np.minimum, "max": np.maximum,
-    "__builtins__": {},
+    "min": np.minimum, "max": np.maximum,
 }
+_SAFE_VARS = {"pi": np.pi}
+
+# FreeFEM's ^ is power, not xor — map BitXor accordingly
+_BINOPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+    ast.Div: operator.truediv, ast.Pow: operator.pow,
+    ast.Mod: operator.mod, ast.FloorDiv: operator.floordiv,
+    ast.BitXor: operator.pow,
+}
+_UNARYOPS = {ast.UAdd: operator.pos, ast.USub: operator.neg}
 
 
 def _eval(expr: str, env: dict):
-    return eval(expr, _SAFE | env)  # noqa: S307 (restricted namespace)
+    """Evaluate an .edp arithmetic expression over a whitelisted grammar.
+
+    .edp files are UNTRUSTED input (the reference hands them to FreeFEM,
+    which has its own interpreter); a raw Python ``eval`` — even with
+    stripped builtins — is escapable through attribute chains, so only
+    numbers, parameter names, arithmetic operators and calls to the
+    whitelisted numpy functions are interpreted here.  Anything else
+    raises ``ValueError``.
+    """
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float)) and not isinstance(
+                    node.value, bool):
+                return node.value
+            raise ValueError(f"non-numeric literal {node.value!r}")
+        if isinstance(node, ast.Name):
+            if node.id in env:
+                return env[node.id]
+            if node.id in _SAFE_VARS:
+                return _SAFE_VARS[node.id]
+            raise ValueError(f"unknown name {node.id!r}")
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            return _BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
+            return _UNARYOPS[type(node.op)](ev(node.operand))
+        if isinstance(node, ast.Call):
+            if (not isinstance(node.func, ast.Name)
+                    or node.func.id not in _SAFE_FUNCS or node.keywords):
+                raise ValueError("only calls to whitelisted functions")
+            return _SAFE_FUNCS[node.func.id](*[ev(a) for a in node.args])
+        raise ValueError(
+            f"disallowed syntax {type(node).__name__} in .edp expression")
+
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as err:
+        raise ValueError(f"unparseable .edp expression {expr!r}") from err
+    return ev(tree)
 
 
 def parse_edp_geometry(text: str):
@@ -97,16 +147,24 @@ def _discretize(border_def, n: int, reverse: bool, env):
 
 
 def mesh_from_edp(text: str, *, smooth: int = 4, seed: int | None = None,
-                  jitter: float = 0.0) -> TriangleMesh:
+                  jitter: float = 0.0,
+                  density_scale: float = 1.0) -> TriangleMesh:
     """Mesh the buildmesh domain of an .edp script.
 
     Arcs are chained into closed loops by endpoint proximity (the FreeFEM
     convention: consecutive buildmesh arcs share endpoints; a loop closes
     when the chain returns to its starting point).
+
+    ``density_scale`` multiplies every border's segment count (floored at
+    2): scales < 1 produce the coarser meshes the multigrid hierarchy
+    needs (Geometry.coarsened), > 1 refine.
     """
     params, borders, calls = parse_edp_geometry(text)
     if not calls:
         raise ValueError("no buildmesh(...) statement found in .edp script")
+    if density_scale != 1.0:
+        calls = [(nm, max(2, int(round(n * density_scale))), rev)
+                 for nm, n, rev in calls]
 
     arcs = [_discretize(borders[nm], n, rev, params) for nm, n, rev in calls]
 

@@ -33,13 +33,18 @@ class GeometryParams:
 
 
 def _parse_edp_params(text: str) -> dict[str, float]:
-    """Extract ``real <name> = <value>;`` parameter lines from an .edp script."""
+    """Extract ``real <name> = <value>;`` parameter lines from an .edp script.
+
+    Expressions like ``100*1e-3`` or ``Ly/2 - rAccel`` go through the
+    AST-whitelist evaluator (mesh/edp._eval) — .edp files are untrusted
+    input, so no Python ``eval``."""
+    from ..mesh.edp import _eval
+
     out: dict[str, float] = {}
     for m in re.finditer(r"^\s*real\s+(\w+)\s*=\s*([^;]+);", text, re.MULTILINE):
         name, expr = m.group(1), m.group(2).strip()
         try:
-            # allow simple arithmetic like '100*1e-3' or 'Ly/2 - rAccel'
-            out[name] = float(eval(expr, {"__builtins__": {}}, dict(out)))
+            out[name] = float(_eval(expr, dict(out)))
         except Exception:
             continue
     return out
@@ -159,6 +164,11 @@ class Geometry:
                     from ..mesh.edp import mesh_from_edp
 
                     self._mesh = mesh_from_edp(text)
+                    # keep the script: .edp geometries re-mesh at scaled
+                    # border densities, so they stay coarsenable (the mg
+                    # preconditioner hierarchy needs coarser levels)
+                    self._edp_text = text
+                    self._edp_density = 1.0
                 except Exception as err:
                     import warnings
 
@@ -193,6 +203,12 @@ class Geometry:
 
     def get_mesh(self) -> TriangleMesh:
         """Build (or return the cached) static mesh."""
+        if self._mesh is None and getattr(self, "_edp_text", None) is not None:
+            from ..mesh.edp import mesh_from_edp
+
+            self._mesh = mesh_from_edp(
+                self._edp_text,
+                density_scale=getattr(self, "_edp_density", 1.0))
         if self._mesh is None:
             if self.template is None:
                 raise RuntimeError("Geometry has neither a template nor a mesh.")
@@ -219,19 +235,35 @@ class Geometry:
             self._export_vtk = False
         return self._mesh
 
-    def coarsened(self, factor: float = 2.0) -> "Geometry":
-        """A coarser Geometry of the same template (multigrid hierarchies).
+    @property
+    def can_coarsen(self) -> bool:
+        """True when a coarser mesh of the same domain can be generated —
+        template-based and .edp-script geometries; .msh imports and
+        injected meshes have no parametric description to regenerate
+        from."""
+        return (self.template is not None
+                or getattr(self, "_edp_text", None) is not None)
 
-        Only template-based geometries can be coarsened (mesh/.msh imports
-        have no parametric description to regenerate from).
-        """
-        if self.template is None or self._mesh is not None and self.template is None:
-            raise ValueError("Only template-based geometries can be coarsened.")
+    def coarsened(self, factor: float = 2.0) -> "Geometry":
+        """A coarser Geometry of the same domain (multigrid hierarchies).
+
+        Template geometries re-generate at ``refine/factor``; .edp
+        geometries re-mesh the script's buildmesh domain with border
+        densities scaled by ``1/factor`` (linear density — DOF count drops
+        ~factor^2, matching the template behavior)."""
+        if not self.can_coarsen:
+            raise ValueError(
+                "Only template- or .edp-based geometries can be coarsened "
+                "(.msh imports and injected meshes have no parametric "
+                "description); use precond='dense' for this Problem.")
         g = Geometry.__new__(Geometry)
         g.__dict__.update(self.__dict__)
         g._mesh = None
         g._export_vtk = False
-        g._refine = self._refine / factor
+        if self.template is not None:
+            g._refine = self._refine / factor
+        else:
+            g._edp_density = getattr(self, "_edp_density", 1.0) / factor
         return g
 
     @property

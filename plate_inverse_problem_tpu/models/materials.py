@@ -286,59 +286,49 @@ class Material(abc.ABC):
 
     @classmethod
     def get_constraints(cls, scaling_params: np.ndarray | None = None):
-        """scipy constraints with JAX-computed jacobian/hessian
-        (reference Material.py:205-264)."""
+        """Constraint set for scipy.optimize in the SCALED parameter space
+        the optimizers work in (contract of reference Material.py:205-264:
+        a single constraint object, a [linear, nonlinear] list, or None).
+
+        Linear families ship a plain LinearConstraint matrix; families with
+        a curved feasibility surface (e.g. the orthotropic
+        ``sqrt(E1/E2) > nu12``) add a NonlinearConstraint whose jacobian
+        and lagrangian hessian come from jax AD instead of scipy's
+        finite differences.
+        """
         import scipy.optimize
 
-        if scaling_params is None:
-            scaling_params = 1.0
-        else:
-            scaling_params = scaling_params.copy()
-
-        res_nonlin = cls._get_nonlin_constr(scaling_params)
-        if res_nonlin is not None:
-            fun, lb, ub = res_nonlin
-            fun_jac = jax.jit(jax.jacobian(fun))
-
-            def dot_func(x, v):
-                return jnp.dot(fun(x), v)
-
-            fun_hess = jax.jit(jax.hessian(dot_func))
-            res_nonlin = scipy.optimize.NonlinearConstraint(
-                fun, lb, ub, jac=fun_jac, hess=fun_hess
-            )
-
-        res_lin = cls._get_lin_constr(scaling_params)
-        if res_lin is not None:
-            A, lb, ub = res_lin
-            res_lin = scipy.optimize.LinearConstraint(A, lb, ub)
-
-        if res_nonlin is None:
-            return res_lin
-        if res_lin is None:
-            return res_nonlin
-        return [res_lin, res_nonlin]
+        scale = 1.0 if scaling_params is None else np.array(scaling_params)
+        built = []
+        lin = cls._get_lin_constr(scale)
+        if lin is not None:
+            A, lo, hi = lin
+            built.append(scipy.optimize.LinearConstraint(A, lo, hi))
+        nonlin = cls._get_nonlin_constr(scale)
+        if nonlin is not None:
+            g, lo, hi = nonlin
+            built.append(scipy.optimize.NonlinearConstraint(
+                g, lo, hi,
+                jac=jax.jit(jax.jacobian(g)),
+                # trust-constr wants hess(x, v) = d2/dx2 <v, g(x)>
+                hess=jax.jit(jax.hessian(lambda x, v: jnp.dot(g(x), v))),
+            ))
+        if not built:
+            return None
+        return built[0] if len(built) == 1 else built
 
     @classmethod
     def check_parameters(cls, params: np.ndarray, scaling_params=1.0) -> bool:
-        """Validity check of a parameter vector (reference Material.py:266-308)."""
-        res_nonlin = cls._get_nonlin_constr(scaling_params)
-        if res_nonlin is None:
-            nonlin_check = True
-        else:
-            fun, lb, ub = res_nonlin
-            vals = np.array(fun(params))
-            nonlin_check = bool(np.all((lb <= vals) & (vals <= ub)))
-
-        res_lin = cls._get_lin_constr(scaling_params)
-        if res_lin is None:
-            lin_check = True
-        else:
-            A, lb, ub = res_lin
-            vals = A @ np.asarray(params)
-            lin_check = bool(np.all((lb <= vals) & (vals <= ub)))
-
-        return lin_check and nonlin_check
+        """True when the (scaled) parameter vector satisfies every family
+        constraint (contract of reference Material.py:266-308)."""
+        x = np.asarray(params)
+        lin = cls._get_lin_constr(scaling_params)
+        checks = [] if lin is None else [(lin[0] @ x, lin[1], lin[2])]
+        nonlin = cls._get_nonlin_constr(scaling_params)
+        if nonlin is not None:
+            g, lo, hi = nonlin
+            checks.append((np.asarray(g(x)), lo, hi))
+        return all(bool(np.all((lo <= v) & (v <= hi))) for v, lo, hi in checks)
 
     # ----- persistence ----------------------------------------------------
 

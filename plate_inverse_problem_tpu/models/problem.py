@@ -926,6 +926,25 @@ class Problem:
         precond_resolved = self.precond
         if precond_resolved == "auto":
             precond_resolved = "mg" if n > 12288 else "dense"
+        if precond_resolved == "mg" and not self.geometry.can_coarsen:
+            # the mg hierarchy regenerates coarser meshes; .msh imports and
+            # injected meshes cannot.  Auto falls back to the dense
+            # complement preconditioner (works at any n, slower above ~12k);
+            # an explicit 'mg' request is a user error worth raising early.
+            if self.precond == "mg":
+                raise ValueError(
+                    "precond='mg' needs a coarsenable geometry (template or "
+                    ".edp script); this mesh-imported geometry has none. "
+                    "Use precond='dense'."
+                )
+            warnings.warn(
+                f"n_free={n} would use the mg preconditioner, but this "
+                "mesh-imported geometry cannot be coarsened; falling back "
+                "to the dense complement preconditioner (slower above "
+                "~12k DOF).",
+                RuntimeWarning,
+            )
+            precond_resolved = "dense"
         self._precond_resolved = precond_resolved
 
         if precond_resolved == "mg":
@@ -1274,16 +1293,21 @@ class Problem:
         self._fr_fn_memo = fn
         return fn
 
-    def _call_segment(self) -> int | None:
+    def _call_segment(self, jac: bool = False) -> int | None:
         """Max frequencies per device call (None = unsegmented).
 
         Big-DOF sweeps must be split across device executions: the axon
         TPU runtime kills single executions beyond roughly a minute, and
-        frequency points are embarrassingly independent anyway."""
+        frequency points are embarrassingly independent anyway.  A
+        residual+Jacobian call does ~(1 + n_params) sweeps of work
+        (forward + one JVP per parameter), so gradient/Jacobian paths
+        (``jac=True``) segment from a ~4x smaller DOF count (measured:
+        the n=21k r+J at 512 points exceeds the runtime's kill window
+        while the forward sweep alone takes 12.6 s)."""
         if jax.default_backend() == "cpu":
             return None
         n = self.n_free
-        if n < 30_000:
+        if n < (8_000 if jac else 30_000):
             return None
         return 64
 
@@ -1344,7 +1368,7 @@ class Problem:
         core, opdata = self.getFRCore()
         return LossFunction(
             core, opdata, frequencies, reference_fr, func_type,
-            scaling_params, call_seg=self._call_segment(),
+            scaling_params, call_seg=self._call_segment(jac=True),
         )
 
     def getResidualFunction(
@@ -1363,7 +1387,7 @@ class Problem:
         core, opdata = self.getFRCore()
         return ResidualFunction(
             core, opdata, frequencies, reference_fr, kind, scaling_params,
-            freq_chunk=freq_chunk, call_seg=self._call_segment(),
+            freq_chunk=freq_chunk, call_seg=self._call_segment(jac=True),
         )
 
     # ------------------------------------------------------------------

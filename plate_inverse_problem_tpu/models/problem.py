@@ -851,8 +851,14 @@ class Problem:
         def _mg_kwargs(od):
             # reads the _mg_* attributes at trace time (set further down in
             # this method, before the cores are ever traced)
+            kw = {}
+            if "band_lin" in od and self._band_layout is not None:
+                # exact f64 operator application through the RCM block-
+                # tridiagonal layout (ops/mixed.py band apply)
+                kw["band"] = {"layout": self._band_layout,
+                              "lin": od["band_lin"]}
             if "mg_band0" in od:
-                return {
+                return kw | {
                     "mg": {"tg_band0": od["mg_band0"],
                            "dinv": od["mg_dinv"], "Pt": od["mg_Pt"],
                            "Kc_inv": od["mg_Kcinv"],
@@ -862,8 +868,8 @@ class Problem:
                     "K_ref64": od["Kref64"],
                 }
             if "mg_arrays" not in od:
-                return {}
-            return {
+                return kw
+            return kw | {
                 "mg": {"arrays": od["mg_arrays"],
                        "static": self._mg_static},
                 "K_ref64": od["Kref64"],
@@ -913,11 +919,13 @@ class Problem:
             "W64": jnp.asarray(W64, jnp.float64),
         }
         if layout is not None:
-            # band tensors are f32-only and built ON DEVICE from flat data
-            # (~16 MB transfers) — they power the scatter-free two-grid
-            # preconditioner; exact f64 solver arithmetic stays on the
-            # flat scatter SpMV (ops/mixed.py precision-placement notes)
+            # the scatter targets ride in opdata (index arrays as closure
+            # constants are fatal to the AOT compiler — CLAUDE.md); they
+            # serve both the f32 two-grid preconditioner build and the
+            # per-theta f64 block tensors of the exact operator
+            # (ops/mixed.py band apply: 3.8x the scatter SpMV at n=21k)
             lin_dev = jnp.asarray(layout.lin)
+            base["band_lin"] = lin_dev
 
         # 'auto': the dense f32 inverse is built on device, and the TPU LU
         # panel limit makes single-shot inversion impossible (and the

@@ -468,7 +468,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 16, refine_tol: float = 3e-7,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
                 ki_proportional: bool = False, K_ref32=None,
-                k_cycle: int | None = None, basis_f32: bool | None = None):
+                k_cycle: int | None = None, basis_f32: bool | None = None,
+                band=None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -487,13 +488,14 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
       corrections in f32 injects noise that K amplifies back into the
       residual) — at 20k+ DOF that floor is O(1) and the iteration cannot
       converge AT ALL.
-    * The f64 operator application uses the flat scatter SpMV: elementwise
-      f64 is exact on TPU, memory stays O(nnz), and XLA:TPU has no true
-      f64 MXU dot (an "f64 band GEMM" lowers to a materialized product +
-      reduce).  The scatter's cost is serialization over nnz and therefore
-      BATCH-INVARIANT (measured 206 ms at nnz=2e6 whether 16 or 128
-      frequency lanes ride along) — large freq chunks amortize it to
-      a few ms per frequency.
+    * The f64 operator application is exact either way it is laid out:
+      the flat scatter SpMV (elementwise f64, O(nnz) memory, cost
+      serialized over nnz and therefore BATCH-INVARIANT — measured 206 ms
+      at nnz=2e6 whether 16 or 128 frequency lanes ride along), or, when
+      ``band`` supplies the RCM block-tridiagonal layout, the emulated-f64
+      block GEMM of ops/band.py — measured 3.8x the scatter at n=21k
+      (54 -> 14 ms per fused apply) at the price of materializing the
+      (nb, b, 3b) f64 block tensors (~n * 24 * bandwidth bytes each).
     * Only the PRECONDITIONER is f32 (dense refined inverse below ~8k DOF,
       the scatter-free band two-grid cycle above — ops/mg.py), where
       roundoff costs iterations, never accuracy.
@@ -580,6 +582,60 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
         def KMI_mv(uu):
             return _fused_mv(KMI64, uu)
+
+    if band is not None:
+        # ---- block-tridiagonal exact f64 operator (ops/band.py) ---------
+        # One theta-dependent scatter per sweep builds the f64 block
+        # tensors (flat_to_band is linear — tangents flow exactly), then
+        # every hot-loop operator application is an emulated-f64 block
+        # GEMM: 3.8x the scatter at n=21k, near batch-invariant.  The
+        # K/M/Ki matrices are symmetric, so the same tensors serve the
+        # forward and (conjugate-)transpose applications.
+        from .band import band_mv as _band_mv, flat_to_band as _f2b
+
+        _lay = band["layout"]
+        _lin = band["lin"]
+
+        def _to_band(v):
+            return _f2b(v.astype(jnp.float64), _lay, _lin)
+
+        Kband = _to_band(Kr64)
+        Mband = _to_band(Ms64)
+        # traced copies for the AD-defining matvec: identical values
+        # (stop_gradient is identity at runtime, XLA CSEs the scatters)
+        Kband_t = _to_band(K_re)
+        Mband_t = _to_band(M_flat)
+
+        def Kt_mv(x):
+            return _band_mv(Kband_t, x, _lay)
+
+        def K_mv(x):
+            return _band_mv(Kband, x, _lay)
+
+        def M_mv(x):
+            return _band_mv(Mband, x, _lay)
+
+        def Mt_mv(x):
+            return _band_mv(Mband_t, x, _lay)
+
+        def KM_mv(uu):
+            return jnp.stack([_band_mv(Kband, uu, _lay),
+                              _band_mv(Mband, uu, _lay)])
+
+        if not ki_proportional:
+            Kiband = _to_band(Ki64)
+            Kiband_t = _to_band(K_im)
+
+            def Kit_mv(x):
+                return _band_mv(Kiband_t, x, _lay)
+
+            def Ki_mv(x):
+                return _band_mv(Kiband, x, _lay)
+
+            def KMI_mv(uu):
+                return jnp.stack([_band_mv(Kband, uu, _lay),
+                                  _band_mv(Mband, uu, _lay),
+                                  _band_mv(Kiband, uu, _lay)])
 
     # ---- per-theta band Rayleigh-Ritz, all f64 --------------------------
     # Kw = W^T K_r W (m x m), Mw = W^T M W; W is M(theta-independent)-

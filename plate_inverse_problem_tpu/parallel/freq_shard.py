@@ -60,6 +60,15 @@ def opdata_shardings(mesh: Mesh, opdata):
     * ``W64`` (n, m) — the band-basis panel: row-sharded; the Rayleigh-Ritz
       panel products contract over the sharded axis (psum of (m, m)).
 
+    * the band-tier / two-grid buffers — the ones that are actually large
+      at the >12k tier where dof-sharding matters: ``mg_band0``
+      (nb, b, 3b block-tridiagonal operator) and ``mg_Pt`` (the
+      rectangular block-band prolongation) split over their block-row
+      axis (XLA inserts the halo exchanges the shifted-window products
+      need), ``mg_Kcinv`` (coarse dense inverse) row-sharded like
+      ``invK32``, ``mg_dinv`` (the n-length Jacobi diagonal) split over
+      its only axis.
+
     Everything else (flat operator data, index vectors, lifts) is
     replicated — sharding the nnz axis would trade O(F n) psums per SpMV
     for O(F nnz / D) local work, a loss at the plate operator's ~23
@@ -68,11 +77,21 @@ def opdata_shardings(mesh: Mesh, opdata):
     repl = NamedSharding(mesh, P())
     ndof = mesh.shape.get("dof", 1)
 
+    _row_sharded_2d = ("invK32", "W64", "mg_Kcinv")
+    _block_sharded = ("mg_band0", "mg_Pt")
+
     def place(path, leaf):
         name = path[-1].key if path and hasattr(path[-1], "key") else ""
-        if (ndof > 1 and name in ("invK32", "W64") and leaf.ndim == 2
-                and leaf.shape[0] % ndof == 0 and leaf.shape[0] > 1):
+        if ndof <= 1 or leaf.ndim == 0 or leaf.shape[0] % ndof or \
+                leaf.shape[0] <= 1:
+            return repl
+        if name in _row_sharded_2d and leaf.ndim == 2:
             return NamedSharding(mesh, P("dof", None))
+        if name in _block_sharded and leaf.ndim >= 2:
+            return NamedSharding(
+                mesh, P(*(("dof",) + (None,) * (leaf.ndim - 1))))
+        if name == "mg_dinv" and leaf.ndim == 1:
+            return NamedSharding(mesh, P("dof"))
         return repl
 
     return jax.tree_util.tree_map_with_path(place, opdata)

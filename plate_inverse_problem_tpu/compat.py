@@ -86,9 +86,17 @@ Utils = _module(
     get_source_dir=_utils_mod.get_repo_dir,
 )
 
-# the solver bridge (reference jax_plate/Sparse.py) maps onto the ops module
+# the solver bridge (reference jax_plate/Sparse.py) maps onto the ops module:
+# the standalone CSC primitives (create_symbolic/spsolve/matvec with AD,
+# Sparse.py:92-236) plus the plate sweep engines that replace InnerState
 Sparse = _module(
     "Sparse",
+    create_symbolic=_ops_mod.create_symbolic,
+    spsolve=_ops_mod.spsolve,
+    matvec=_ops_mod.matvec,
+    find_permutation=_ops_mod.find_permutation,
+    FAMILIES=_ops_mod.FAMILIES,
+    SymbolicPattern=_ops_mod.SymbolicPattern,
     sweep_solve=_ops_mod.sweep_solve,
     modal_sweep=_ops_mod.modal_sweep,
     direct_sweep=_ops_mod.direct_sweep,

@@ -93,8 +93,8 @@ def parse_edp_geometry(text: str):
     n_segments, reversed).
     """
     params: dict[str, float] = {}
-    for m in re.finditer(
-            r"^\s*(?:real|int)\s+(\w+)\s*=\s*([^;]+);", text, re.MULTILINE):
+    # \b, not ^: FreeFEM allows several statements per line
+    for m in re.finditer(r"\b(?:real|int)\s+(\w+)\s*=\s*([^;]+);", text):
         name, expr = m.group(1), m.group(2).strip()
         try:
             params[name] = float(_eval(expr, dict(params)))

@@ -41,7 +41,9 @@ def _parse_edp_params(text: str) -> dict[str, float]:
     from ..mesh.edp import _eval
 
     out: dict[str, float] = {}
-    for m in re.finditer(r"^\s*real\s+(\w+)\s*=\s*([^;]+);", text, re.MULTILINE):
+    # \b, not ^: FreeFEM allows several statements per line
+    # (``real Lx = 0.1; real Ly = 0.02;``)
+    for m in re.finditer(r"\breal\s+(\w+)\s*=\s*([^;]+);", text):
         name, expr = m.group(1), m.group(2).strip()
         try:
             out[name] = float(_eval(expr, dict(out)))
@@ -268,7 +270,15 @@ class Geometry:
 
     @property
     def test_point(self) -> tuple[float, float]:
-        """AFC measurement point == accelerometer centre (symm.edp:13-14)."""
+        """AFC measurement point.
+
+        A user ``.edp`` may define its own ``xtest``/``ytest`` (the
+        reference reads them from the script — symm.edp:13-14,
+        pyFFInterface.py:36-46); honor those when present, else default to
+        the accelerometer centre exactly like the reference templates."""
+        vals = getattr(self, "_edp_vals", None) or {}
+        if "xtest" in vals and "ytest" in vals:
+            return (float(vals["xtest"]), float(vals["ytest"]))
         return (self.accel_x, self.accel_y)
 
     def __str__(self):

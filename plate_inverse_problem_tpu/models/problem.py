@@ -1628,9 +1628,19 @@ class Problem:
 
         Rendered directly from our mesh: Morley vertex DOFs *are* the P1
         nodal values the reference extracts through a FreeFEM round-trip
-        (Problem.py:576-597).  ``use_freefem`` is accepted for parity and
-        ignored.
+        (Problem.py:576-597).  ``use_freefem`` selects the reference's
+        FreeFEM-native ``plot`` window (Problem.py:598-606); there is no
+        FreeFEM process here, so it warns and falls through to the native
+        rendering (a superset: same P1 field, same contours, works for the
+        3-field path the reference NotImplements).
         """
+        if use_freefem:
+            import warnings
+
+            warnings.warn(
+                "use_freefem=True: no FreeFEM process in the TPU-native "
+                "framework; rendering the same P1 deflection field with "
+                "matplotlib instead", stacklevel=2)
         if params is None:
             params = self.parameters
 

@@ -28,8 +28,16 @@ from .spectral import generalized_eigh
 from .sweep import modal_sweep, direct_sweep, sweep_solve
 from .jacobi_eigh import jacobi_eigh, generalized_jacobi_eigh
 from .mixed import mixed_sweep, band_basis_host, static_preconditioner_host
+from .sparse_api import (SymbolicPattern, create_symbolic, find_permutation,
+                         matvec, spsolve, FAMILIES)
 
 __all__ = [
+    "SymbolicPattern",
+    "create_symbolic",
+    "find_permutation",
+    "matvec",
+    "spsolve",
+    "FAMILIES",
     "to_dense",
     "spmv_flat",
     "generalized_eigh",

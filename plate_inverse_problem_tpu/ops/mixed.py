@@ -185,7 +185,7 @@ def _cmul(a, b):
 
 def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
             anchor: bool = True, n_cycles: int = 1, basis_f32: bool = False,
-            r0=None, final_correct=None):
+            r0=None, final_correct=None, final_correct_n: int = 1):
     """Flexible (right-preconditioned) GMRES on split-complex f64 pairs,
     restarted: up to ``n_cycles`` cycles of ``k_max`` iterations each.
 
@@ -291,6 +291,16 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
         # (already in hand from the restart bookkeeping) in f64, for one
         # O(n m) panel pass — no extra operator application.
         x = x + final_correct(r)
+        # The Ritz pairs behind the resolvent carry an O(subspace-angle)
+        # defect (K Z != M Z Lam exactly — Z spans the band basis, not the
+        # true eigenvectors), so each pass leaves a contracted band error
+        # behind rather than none (measured contraction ~1e-2 per pass at
+        # n=21k, where one pass floored the FRF at 1.6e-5 and a second
+        # reached 1.6e-7).  Extra passes recompute the TRUE residual and
+        # correct again — one exact operator application each.
+        for _ in range(max(0, int(final_correct_n) - 1)):
+            r = bb - A_apply(x)
+            x = x + final_correct(r)
     return x
 
 
@@ -469,7 +479,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
                 ki_proportional: bool = False, K_ref32=None,
                 k_cycle: int | None = None, basis_f32: bool | None = None,
-                band=None):
+                band=None, band_correct_n: int | None = None):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -687,6 +697,15 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         # always allow the restart rather than silently capping accuracy.
         n_cycles = max(n_cycles, 2)
 
+    if band_correct_n is None:
+        # Band-tier Ritz pairs (m modes from a 21k+ space) carry larger
+        # subspace angles than the dense tier's, so the single-pass final
+        # band correction leaves ~1e-5 FRF error standing there; a second
+        # true-residual pass contracts it ~100x for one extra operator
+        # application per solve.  The dense tier is already at ~5e-8 with
+        # one pass — don't pay the apply.
+        band_correct_n = 2 if mg is not None else 1
+
     if basis_f32:
         Zw32 = Zw64.astype(jnp.float32)
         MZ32 = MZ64.astype(jnp.float32)
@@ -883,7 +902,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 u = _pgmres(A_apply, P_use, bbs, x0, tol_eff, 0.0,
                             k_cycle, n_cycles=n_cycles,
                             basis_f32=basis_f32, r0=bbs - Ax0,
-                            final_correct=band_stack)
+                            final_correct=band_stack,
+                            final_correct_n=band_correct_n)
                 return (u[0], u[1])
 
             return slv

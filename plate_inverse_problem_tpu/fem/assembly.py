@@ -242,22 +242,26 @@ def _morley_element_matrices(md: dict, ind=None):
     return mats
 
 
-def _w_constraints(mesh: TriangleMesh, label: int = 1):
-    """Constrained Morley DOFs + boundary values for the clamped border:
+def _w_constraints(mesh: TriangleMesh, labels=(1,)):
+    """Constrained Morley DOFs + boundary values for the clamped border(s):
     w = funcBC = 1 at labelled vertices, dw/dn = 0 on labelled edges
-    (pyFFInterface.py:24-33: on(1, u=funcBC, ux=0, uy=0) with funcBC = 1)."""
+    (pyFFInterface.py:24-33: on(1, u=funcBC, ux=0, uy=0) with funcBC = 1).
+    ``labels``: border label set to clamp — a user .edp may pin labels
+    other than the templates' 1 (mesh/edp.parse_dirichlet_labels)."""
     V, E = mesh.num_nodes, mesh.num_edges
     constrained = np.zeros(V + E, dtype=bool)
     g = np.zeros(V + E, dtype=np.float64)
-    vmask = mesh.node_labels == label
-    emask = mesh.edge_labels == label
+    labels = np.asarray(labels, dtype=mesh.node_labels.dtype)
+    vmask = np.isin(mesh.node_labels, labels)
+    emask = np.isin(mesh.edge_labels, labels)
     constrained[:V] = vmask
     constrained[V:] = emask
     g[:V][vmask] = 1.0
     return constrained, g
 
 
-def assemble_symm(mesh: TriangleMesh, test_point, indicator=None) -> SymmOperator:
+def assemble_symm(mesh: TriangleMesh, test_point, indicator=None,
+                  clamped_labels=(1,)) -> SymmOperator:
     """Assemble the pure-bending (mid-plane symmetric) operator bundle."""
     md = build_morley(mesh)
     n = md["n_dofs"]
@@ -272,7 +276,7 @@ def assemble_symm(mesh: TriangleMesh, test_point, indicator=None) -> SymmOperato
         mats["MCorrection"] = np.zeros(pattern.nnz)
         mats["LCorrection"] = np.zeros(pattern.nnz)
 
-    constrained, g = _w_constraints(mesh)
+    constrained, g = _w_constraints(mesh, clamped_labels)
     red_pattern, red_mats, lifts, free_idx = reduce_dirichlet(
         pattern, mats, constrained, g
     )
@@ -370,15 +374,16 @@ def disk_sample_points(cx: float, cy: float, r: float, n_boundary: int = 64,
     return np.concatenate([boundary, inner], axis=0)
 
 
-def _uvw_constraints(mesh: TriangleMesh, label: int = 1):
+def _uvw_constraints(mesh: TriangleMesh, labels=(1,)):
     """Constrained 3-field DOFs: u = v = 0 and w = funcBC = 1, wn = 0 on the
-    labelled border (pyFFInterface.py:187-197)."""
+    labelled border(s) (pyFFInterface.py:187-197)."""
     V, E = mesh.num_nodes, mesh.num_edges
     n = 2 * V + V + E
     constrained = np.zeros(n, dtype=bool)
     g = np.zeros(n, dtype=np.float64)
-    vmask = mesh.node_labels == label
-    emask = mesh.edge_labels == label
+    labels = np.asarray(labels, dtype=mesh.node_labels.dtype)
+    vmask = np.isin(mesh.node_labels, labels)
+    emask = np.isin(mesh.edge_labels, labels)
     constrained[:V] = vmask                       # u
     constrained[V : 2 * V] = vmask                # v
     constrained[2 * V : 3 * V] = vmask            # w vertex DOFs
@@ -388,7 +393,7 @@ def _uvw_constraints(mesh: TriangleMesh, label: int = 1):
 
 
 def assemble_unsymm(mesh: TriangleMesh, accel_center, accel_r,
-                    indicator=None) -> UnsymmOperator:
+                    indicator=None, clamped_labels=(1,)) -> UnsymmOperator:
     """Assemble the membrane+bending 3-field operator bundle."""
     md = build_morley(mesh)
     pd = build_p1(mesh)
@@ -484,7 +489,7 @@ def assemble_unsymm(mesh: TriangleMesh, accel_center, accel_r,
         if name not in mats:
             mats[name] = np.zeros(pattern.nnz)
 
-    constrained, g = _uvw_constraints(mesh)
+    constrained, g = _uvw_constraints(mesh, clamped_labels)
     red_pattern, red_mats, lifts, free_idx = reduce_dirichlet(
         pattern, mats, constrained, g
     )

@@ -131,6 +131,30 @@ def parse_edp_geometry(text: str):
     return params, borders, calls
 
 
+def parse_dirichlet_labels(text: str) -> tuple[int, ...]:
+    """Border labels a script's own ``on(...)`` clauses pin (Dirichlet).
+
+    The reference's varf templates hardcode ``on(1, u=funcBC, ux=0, uy=0)``
+    (pyFFInterface.py:52-65, symm.edp:26), but a user script may clamp any
+    label set — ``on(2, 3, w=0, ...)``.  We do not interpret varfs, yet the
+    ``on`` clauses tell us *where* the essential BCs live, which is the one
+    piece of varf semantics the solver stack needs.  Returns the sorted
+    union of integer labels across all ``on(...)`` clauses (empty when the
+    script has none — caller falls back to label 1).
+    """
+    labels: set[int] = set()
+    for m in re.finditer(r"\bon\s*\(([^)]*)\)", text):
+        for arg in m.group(1).split(","):
+            arg = arg.strip()
+            if "=" in arg:
+                break                   # BC assignments follow the labels
+            try:
+                labels.add(int(arg))
+            except ValueError:
+                break                   # not a label list (e.g. on(C, ...))
+    return tuple(sorted(labels))
+
+
 def _discretize(border_def, n: int, reverse: bool, env):
     """(points, labels, end_point) of an arc; points exclude the arc end
     (arcs chain into loops), end_point is the exact x(t1), y(t1)."""

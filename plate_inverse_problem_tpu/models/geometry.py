@@ -76,10 +76,17 @@ class Geometry:
         ny: int | None = None,
         refine: float = 1.0,
         export_vtk: bool = False,  # write geometry/export.vtu next to the package
+        clamped_labels: tuple[int, ...] | None = None,
     ):
         self.template = None
         self._mesh: TriangleMesh | None = None
         self.current_file = None
+        # Dirichlet border label set.  Resolution order: explicit kwarg; a
+        # user .edp script's own on(...) clauses (parsed below); the
+        # templates' label 1 (symm.edp:26, pyFFInterface.py:52-65).
+        self.clamped_labels = (
+            tuple(int(x) for x in clamped_labels)
+            if clamped_labels is not None else (1,))
 
         if mesh is not None:
             # direct mesh injection (power-user path, no reference analog)
@@ -159,6 +166,12 @@ class Geometry:
                         vals.get("offsetAccelX"), vals.get("offsetAccelY"),
                     )
                 self._edp_vals = vals
+                if clamped_labels is None:
+                    from ..mesh.edp import parse_dirichlet_labels
+
+                    found = parse_dirichlet_labels(text)
+                    if found:
+                        self.clamped_labels = found
                 # mesh the script's buildmesh domain directly (arbitrary
                 # borders/holes — the reference would hand this to FreeFEM,
                 # Geometry.py:115-145)
@@ -279,6 +292,14 @@ class Geometry:
         vals = getattr(self, "_edp_vals", None) or {}
         if "xtest" in vals and "ytest" in vals:
             return (float(vals["xtest"]), float(vals["ytest"]))
+        if self.accel_x is None or self.accel_y is None:
+            # NaN coordinates would flow through the interpolation row into
+            # a silently-NaN FRF; fail loudly instead (the reference's varfs
+            # likewise require xtest/ytest — symm.edp:13-14)
+            raise ValueError(
+                "Readout/test point undefined: give the geometry an "
+                "accelerometer position (accel_x/accel_y) or define "
+                "xtest/ytest in the .edp script.")
         return (self.accel_x, self.accel_y)
 
     def __str__(self):

@@ -468,7 +468,9 @@ class Problem:
         self.is_symmetric_path = self.material.is_mps and self.accelerometer is None
 
         if self.is_symmetric_path:
-            op = assemble_symm(mesh, self.geometry.test_point, indicator=indicator)
+            op = assemble_symm(
+                mesh, self.geometry.test_point, indicator=indicator,
+                clamped_labels=getattr(self.geometry, "clamped_labels", (1,)))
             self.op = op
             # Total (regular + rotational) inertia, physical scaling:
             # I0*M + I2*L  ==  rho*(M + e^2/3 L) * h  (Problem.py:269-271)
@@ -488,6 +490,7 @@ class Problem:
                 (self.geometry.accel_x, self.geometry.accel_y),
                 self.geometry.accel_r,
                 indicator=indicator,
+                clamped_labels=getattr(self.geometry, "clamped_labels", (1,)),
             )
             self.op = op
             self.MInertia = (

@@ -97,6 +97,66 @@ def test_edp_snippet_parse_and_mesh():
     assert (m.edge_labels == 1).sum() == 10
 
 
+def test_edp_custom_dirichlet_labels(tmp_path):
+    """A user .edp that clamps labels other than 1 through its own on(...)
+    clauses is honored: the essential BC follows the script's label set
+    (the reference hands this to FreeFEM's varf machinery; here
+    mesh/edp.parse_dirichlet_labels feeds the assembly)."""
+    from plate_inverse_problem_tpu.mesh.edp import parse_dirichlet_labels
+
+    assert parse_dirichlet_labels("on(2, 3, u=0, ux=0);") == (2, 3)
+    assert parse_dirichlet_labels("on(C, u=0);") == ()
+    assert parse_dirichlet_labels("x = y + 1;") == ()
+
+    def script(clamp_label, with_on):
+        s = f"""
+real Lx = 100e-3; real Ly = 20e-3;
+real xtest = 30e-3; real ytest = 0.0;
+int n = 6;
+border Bl(t=0., 1){{x=0; y=Ly/2 - t*Ly; label=0;}}
+border Bb(t=0., 1){{x=Lx*t; y=-Ly/2; label=0;}}
+border Br(t=0., 1){{x=Lx; y=-Ly/2 + t*Ly; label={clamp_label};}}
+border Bt(t=0., 1){{x=(1-t)*Lx; y=Ly/2; label=0;}}
+mesh Th = buildmesh(Bl(n) + Bb(5*n) + Br(n) + Bt(5*n));
+"""
+        if with_on:
+            s += f"problem P(u, v) = ... + on({clamp_label}, u=0, ux=0, uy=0);\n"
+        return s
+
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def frf_of(text):
+        fp = tmp_path / "g.edp"
+        fp.write_text(text)
+        geom = pip.Geometry(str(fp), height=2e-3)
+        p = pip.Problem(geom, mat, None)
+        return geom, np.asarray(p.getFRFunction()(
+            np.array([80.0, 160.0]), np.asarray(p.parameters)))
+
+    g1, y1 = frf_of(script(1, with_on=False))     # default label-1 clamp
+    g4, y4 = frf_of(script(4, with_on=True))      # same side, label 4 + on(4)
+    assert g1.clamped_labels == (1,)
+    assert g4.clamped_labels == (4,)
+    assert np.all(np.isfinite(y1)) and np.all(np.abs(y1) > 0)
+    # identical domain + identical clamped side -> identical physics
+    # (assert_allclose would equate NaNs — finiteness asserted above)
+    np.testing.assert_allclose(y4, y1, rtol=1e-9)
+
+    # no accelerometer and no xtest/ytest: loud error, not a NaN FRF
+    fp = tmp_path / "g.edp"
+    fp.write_text(script(1, with_on=False).replace(
+        "real xtest = 30e-3; real ytest = 0.0;", ""))
+    gbad = pip.Geometry(str(fp), height=2e-3)
+    with pytest.raises(ValueError, match="test point"):
+        pip.Problem(gbad, mat, None)
+
+    # explicit kwarg overrides the script
+    fp = tmp_path / "g.edp"
+    fp.write_text(script(4, with_on=False))
+    g = pip.Geometry(str(fp), height=2e-3, clamped_labels=(4,))
+    assert g.clamped_labels == (4,)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_GEO),
                     reason="reference checkout not available")
 def test_reference_edp_scripts_mesh_and_solve():

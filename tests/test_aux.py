@@ -72,3 +72,32 @@ def test_refine_uniform():
     np.testing.assert_allclose(r.areas().sum(), 1.0, rtol=1e-12)
     # labels survive
     assert (r.edge_labels == 1).sum() == 2 * (m.edge_labels == 1).sum()
+
+
+def test_oracle_check_both_paths():
+    """diagnostics.oracle audits an engine sweep against f64 splu — the
+    user-facing convergence signal for the iterative engines (the FGMRES
+    solve inside custom_linear_solve cannot expose one directly)."""
+    import plate_inverse_problem_tpu as pip
+    from plate_inverse_problem_tpu.diagnostics import oracle_check
+
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    acc = pip.Accelerometer("AP1030")
+    freqs = np.linspace(60.0, 400.0, 9)
+
+    # 3-field accelerometer path
+    geom = pip.Geometry("symm", acc,
+                        pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None),
+                        ny=1)
+    p = pip.Problem(geom, mat, acc)
+    rep = oracle_check(p, freqs)
+    assert rep["worst_rel_err"] < 1e-6, rep
+    assert rep["at_hz"] in rep["checked_hz"]
+
+    # pure-bending symmetric path (complex interpolation readout)
+    geom2 = pip.Geometry("symm", acc,
+                         pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None),
+                         ny=1)
+    p2 = pip.Problem(geom2, mat, None)
+    rep2 = oracle_check(p2, freqs, n_points=3)
+    assert rep2["worst_rel_err"] < 1e-6, rep2

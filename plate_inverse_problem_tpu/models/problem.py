@@ -232,9 +232,17 @@ class ResidualFunction:
         self._r = jax.jit(full)
 
         def rj(params, od, freqs, ref):
-            r = full(params, od, freqs, ref)
-            J = jax.jacfwd(full)(params, od, freqs, ref)
-            return r, J
+            # fused value-and-jacfwd: one jvp per parameter, with the primal
+            # shared across tangent lanes.  Computing r separately and then
+            # jacfwd(full) would run the primal sweep twice — XLA does not
+            # CSE the two while_loop-based solver bodies — costing one extra
+            # full sweep per Gauss-Newton iteration.
+            f = lambda th: full(th, od, freqs, ref)
+            basis = jnp.eye(params.shape[0], dtype=params.dtype)
+            r, Jrows = jax.vmap(
+                lambda v: jax.jvp(f, (params,), (v,)), out_axes=(None, 0)
+            )(basis)
+            return r, jnp.moveaxis(Jrows, 0, -1)
 
         def rj_chunked(params, od, freqs, ref):
             # bound peak memory: the Jacobian holds p tangent solution

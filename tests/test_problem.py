@@ -292,6 +292,25 @@ def test_gauss_newton_inverse(problem_unsymm, tmp_path, monkeypatch):
     np.testing.assert_allclose(fr_fit, fr, rtol=1e-3)
 
 
+def test_residual_value_and_jac_matches_jacfwd(problem_unsymm):
+    """The fused value-and-jacfwd (one shared primal + p jvp lanes) must
+    reproduce the reference formulation r = f(x), J = jacfwd(f)(x) exactly,
+    for every residual kind."""
+    p = problem_unsymm
+    freqs = np.linspace(40, 300, 8)
+    ref = np.asarray(p.solveForward(freqs))
+    th = jnp.asarray(np.asarray(p.parameters) * jnp.asarray([1.02, 1.01, 1.1]))
+    for kind in ("log_afc", "afc", "complex"):
+        rf = p.getResidualFunction(freqs, ref, kind=kind)
+        r, J = rf.value_and_jac(th)
+        r_ref = rf(th)
+        J_ref = jax.jacfwd(rf)(th)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                                   rtol=1e-12, atol=1e-14)
+
+
 def test_residual_chunking_matches_unchunked(problem_unsymm):
     p = problem_unsymm
     freqs = np.linspace(40, 300, 10)

@@ -88,16 +88,34 @@ def main():
 
     import glob as _glob
     cache_before = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
+    # phase-decomposed first call on the same core program the public
+    # wrapper jits: trace+lower (host Python) / compile (XLA compile on a
+    # cold cache; executable deserialize + device load on a warm one) /
+    # first run.  The public wrapper reuses this jit cache entry, so the
+    # public-path first call below stays cheap and the phases are honest.
+    core, od = p.getFRCore()
+    jc = jax.jit(core)
+    t0 = time.perf_counter()
+    lowered = jc.lower(fj, th, od)
+    lower_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lowered.compile()
+    compile_only_s = time.perf_counter() - t0
+    # public-path first call (comparable with earlier rounds: includes
+    # whatever the phase probe above did not already warm)
     t0 = time.perf_counter()
     fr = fr_fn(fj, th)
     jax.block_until_ready(fr)
-    compile_s = time.perf_counter() - t0
+    first_public_s = time.perf_counter() - t0
+    compile_s = lower_s + compile_only_s + first_public_s
     cache_after = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
     # self-describing compile state: new cache entries => this first call
     # paid a real XLA compile (cold); none => persistent-cache hit (warm)
     compile_state = "cold" if cache_after > cache_before else "warm"
     log(f"first call (incl. compile): {compile_s:.2f}s [{compile_state}: "
-        f"persistent cache {cache_before} -> {cache_after} entries]")
+        f"lower {lower_s:.2f}s, compile/load {compile_only_s:.2f}s, "
+        f"public first call {first_public_s:.2f}s; persistent cache "
+        f"{cache_before} -> {cache_after} entries]")
 
     iters = 5
     t0 = time.perf_counter()
@@ -222,6 +240,9 @@ def main():
             "sweep_ms": round(per_sweep * 1e3, 2),
             "compile_s": round(compile_s, 2),
             "compile_state": compile_state,
+            "first_call_lower_s": round(lower_s, 2),
+            "first_call_compile_or_load_s": round(compile_only_s, 2),
+            "first_call_public_s": round(first_public_s, 2),
             "baseline_solves_per_sec_1thread": round(base_solves_per_sec, 2),
             "baseline_solves_per_sec_allcores": round(base_mc_solves_per_sec, 2),
             "baseline_label": baseline_label,

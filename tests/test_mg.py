@@ -143,3 +143,69 @@ def test_mixed_engine_with_mg_precond_matches_modal():
     y_mg = np.asarray(p_mg.getFRFunction()(freqs, theta))
 
     np.testing.assert_allclose(y_mg, y_ref, rtol=5e-5)
+
+
+def test_band_tier_frf_matches_f64_splu_at_resonance():
+    """Band-tier regression (the 20k-DOF accuracy fix): forcing the RCM
+    block-tridiagonal operator layout + band two-grid preconditioner on a
+    CPU-sized mesh must reproduce the f64 sparse-LU oracle to <=1e-6 at a
+    resonance peak.  Before band_correct_n=2, the single final band
+    correction left the Ritz-defect band error standing (~1.6e-5 FRF at
+    n=21k on chip); this exercises the identical code path
+    (tg_band0 two-grid + band f64 apply + double band correction)."""
+    import scipy.sparse.linalg as spla
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    geom = pip.Geometry(
+        "sh_i", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, None, None),
+        refine=1.5,
+    )
+    p = pip.Problem(geom, mat, acc, engine="mixed", precond="mg",
+                    operator_layout="band")
+    n = p.n_free
+    p.getFRCore()
+    assert p._band_layout is not None  # the forced band layout is active
+
+    theta = jnp.asarray(np.asarray(p.parameters), jnp.float64)
+    # coarse scan to locate a resonance, then evaluate AT the peak
+    scan = np.linspace(40.0, 600.0, 29)
+    fr_scan = np.asarray(p.getFRFunction()(jnp.asarray(scan), theta))
+    f_peak = scan[int(np.argmax(np.abs(fr_scan)))]
+    freqs = np.array([f_peak, 123.4, 456.7])
+    fr = np.asarray(p.getFRFunction()(jnp.asarray(freqs), theta))
+
+    # f64 splu oracle on the same reduced system
+    op = p.op
+    Av, Bv, Dv = (np.asarray(x) for x in
+                  mat.get_ABD_transform(geom.height)(np.asarray(theta), 0.0))
+    K_flat = sum(Av[i] * op.mats["A" + s] + Bv[i] * op.mats["B" + s]
+                 + Dv[i] * op.mats["D" + s]
+                 for i, s in enumerate(MODULI_INDICES))
+    bK = sum(Av[i] * op.lifts["A" + s] + Bv[i] * op.lifts["B" + s]
+             + Dv[i] * op.lifts["D" + s]
+             for i, s in enumerate(MODULI_INDICES))
+    rows, cols = op.pattern.rows, op.pattern.cols
+    Kc = sp.csc_matrix((K_flat, (rows, cols)), shape=(n, n))
+    Mc = sp.csc_matrix((np.asarray(p.MInertia).astype(complex), (rows, cols)),
+                       shape=(n, n))
+    fIn = np.asarray(p.fInertia)
+
+    def row(nm):
+        R, r0 = op.readout[nm]
+        return R.mean(axis=0), r0.mean()
+
+    cu, ou = row("u"); cv, ov = row("v"); cw, ow = row("w")
+    cwx, owx = row("wx"); cwy, owy = row("wy")
+    eff = acc.effective_height * acc.height
+    ts = acc.transverse_sensitivity
+    worst = 0.0
+    for i, f in enumerate(freqs):
+        om = 2 * np.pi * f
+        u = spla.splu((Kc - om ** 2 * Mc).tocsc()).solve(bK - om ** 2 * fIn)
+        uu = (cu - eff * cwx) @ u + (ou - eff * owx)
+        vv = (cv - eff * cwy) @ u + (ov - eff * owy)
+        ww = cw @ u + ow
+        ref = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
+        worst = max(worst, abs(fr[i] - ref) / abs(ref))
+    assert worst <= 1e-6, f"band-tier FRF error {worst:.2e} at peak {f_peak}"

@@ -700,10 +700,16 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     if band_correct_n is None:
         # Band-tier Ritz pairs (m modes from a 21k+ space) carry larger
         # subspace angles than the dense tier's, so the single-pass final
-        # band correction leaves ~1e-5 FRF error standing there; a second
+        # band correction leaves ~1e-5 FRF error standing there; each
         # true-residual pass contracts it ~100x for one extra operator
         # application per solve.  The dense tier is already at ~5e-8 with
-        # one pass — don't pay the apply.
+        # one pass — don't pay the apply.  CPU-oracle worst rel err at the
+        # scanned resonance peak with two passes: 1.0e-7 @ n=21k,
+        # 4.7e-7 @ 46k, 2.8e-7 @ 82k, ~1.4e-6 @ 104k — the 104k residue is
+        # NOT band defect (a 3rd pass and a doubled Krylov budget both
+        # leave it unchanged): it is the f64 noise floor of resonance-
+        # amplified 100k-DOF solves, which the splu oracle itself carries
+        # (see SCALE.md's floor measurement).
         band_correct_n = 2 if mg is not None else 1
 
     if basis_f32:

@@ -9,11 +9,12 @@ SRC = os.path.join(HERE, "scale_results.jsonl")
 DST = os.path.join(HERE, "..", "SCALE.md")
 
 rows = []
-with open(SRC) as fh:
-    for line in fh:
-        line = line.strip()
-        if line:
-            rows.append(json.loads(line))
+if os.path.exists(SRC):
+    with open(SRC) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
 rows.sort(key=lambda r: r["n_free"])
 
 hdr = """# SCALE — measured scale-tier numbers (TPU v5e, one chip)
@@ -35,6 +36,10 @@ persistent cache; "steady" is the amortized per-call time.
 """
 
 lines = []
+if not rows:
+    lines.append("| *(chip rows pending: the TPU endpoint has been down "
+                 "since 2026-08-17 ~21:00; .probes/scale_tier.py is queued "
+                 "to fill this table the moment it returns)* | | | | | | | | |")
 for r in rows:
     lines.append(
         "| {n_free} | {nnz} | {ctor_s} | {sf} | {ss} | {sps} | {err:.1e} | {gf} | {gs} |".format(
@@ -49,7 +54,7 @@ tail = ("\n## Accuracy cross-validation on the CPU backend (same arithmetic)\n\n
         "the CPU backend (which can also run the f64 splu oracle in-process)\n"
         "the identical band+mg code path was validated at every tier at the\n"
         "scanned resonance peak + 3 off-peak points (probe\n"
-        ".probes/hbm_budget.py's sibling, run 2026-08-18):\n\n"
+        ".probes/cpu_tier_accuracy.py, run 2026-08-18):\n\n"
         "| n_free | worst rel err vs f64 splu (incl. peak) |\n|---|---|\n"
         "| 20 916 | 1.0e-7 |\n| 46 432 | 4.7e-7 |\n| 82 086 | 2.8e-7 |\n"
         "| 103 680 | 1.0-1.5e-6 — at the f64 noise floor (below) |\n"

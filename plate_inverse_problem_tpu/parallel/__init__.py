@@ -18,6 +18,7 @@ from .freq_shard import (
     make_mesh,
     shard_frequencies,
     sharded_fr_function,
+    sharded_gn_step,
     sharded_train_step,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "make_mesh",
     "shard_frequencies",
     "sharded_fr_function",
+    "sharded_gn_step",
     "sharded_train_step",
 ]

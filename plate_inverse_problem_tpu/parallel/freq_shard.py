@@ -175,3 +175,67 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
         return jitted(fs, rs, n_true, params, opdata)
 
     return wrapper
+
+
+def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
+                    damping: float = 0.0):
+    """One Gauss-Newton iteration over the device mesh — the multi-chip
+    version of ``ResidualFunction.value_and_jac`` + normal equations.
+
+    The residual rows are per-frequency, so both r and the forward-mode
+    Jacobian J (one jvp lane per parameter, primal shared — the fused
+    recipe of models/problem.py) shard over the ``freq`` axis with zero
+    cross-chip traffic; the only collectives are the (p, p) / (p,)
+    contractions J^T J and J^T r, which XLA reduces over ICI from the
+    sharding annotations.  The tiny damped normal solve runs on the host
+    in f64 (TPU has no 64-bit factorization; p is 3-10).
+
+    Returns ``step(freqs, ref_fr, params) -> (rsq, new_params)`` taking
+    *unpadded* host arrays; padding rows are masked to zero weight.
+    """
+    core, opdata = problem.getFRCore()
+
+    def resid(params, freqs, ref, n_true, od):
+        fr = core(freqs, params, od)
+        if kind == "log_afc":
+            r = jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))
+        elif kind == "afc":
+            r = jnp.abs(fr) - jnp.abs(ref)
+        else:
+            raise ValueError(f"unsupported sharded-GN residual kind {kind!r}")
+        live = jnp.arange(r.shape[0]) < n_true
+        return jnp.where(live, r, 0.0)
+
+    def ingredients(freqs, ref, n_true, params, od):
+        f = lambda th: resid(th, freqs, ref, n_true, od)
+        basis = jnp.eye(params.shape[0], dtype=params.dtype)
+        r, Jrows = jax.vmap(
+            lambda v: jax.jvp(f, (params,), (v,)), out_axes=(None, 0)
+        )(basis)
+        J = jnp.moveaxis(Jrows, 0, -1)       # (F, p), sharded over freq
+        # freq-axis contractions: XLA inserts the psum over the mesh
+        return jnp.sum(r * r), J.T @ J, J.T @ r
+
+    repl = NamedSharding(mesh, P())
+    fshard = NamedSharding(mesh, P("freq"))
+    od_shardings = opdata_shardings(mesh, opdata)
+    jitted = jax.jit(
+        ingredients,
+        in_shardings=(fshard, fshard, repl, repl, od_shardings),
+        out_shardings=(repl, repl, repl),
+    )
+
+    def step(freqs, ref, params):
+        import numpy as np
+
+        n_true = jnp.asarray(freqs).shape[0]
+        fs = shard_frequencies(mesh, jnp.asarray(freqs))
+        rs = shard_frequencies(mesh, jnp.asarray(ref))
+        params = jnp.asarray(params)
+        rsq, JtJ, Jtr = jitted(fs, rs, n_true, params, opdata)
+        A = np.array(JtJ, np.float64)
+        A[np.diag_indices_from(A)] *= 1.0 + damping
+        dx = np.linalg.solve(A, -np.asarray(Jtr, np.float64))
+        return float(rsq), params + jnp.asarray(dx, params.dtype)
+
+    return step

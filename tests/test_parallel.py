@@ -123,3 +123,29 @@ def test_dof_axis_partitions_preconditioner_and_matches():
     y = np.asarray(fn(shard_frequencies(mesh, freqs),
                       jnp.asarray(np.asarray(p.parameters))))[:16]
     np.testing.assert_allclose(y, y_ref, rtol=1e-7)
+
+
+def test_sharded_gn_step_matches_host_normal_equations(problem):
+    """sharded_gn_step's psum'd J^T J / J^T r and one-step update must match
+    the single-device ResidualFunction + host normal equations, including a
+    padded (non-divisible) frequency count."""
+    from plate_inverse_problem_tpu.parallel import sharded_gn_step
+
+    mesh = make_mesh()
+    freqs = np.linspace(40, 600, 13)  # pads to 16 over 8 devices
+    ref = np.asarray(problem.solveForward(freqs))
+    th0 = jnp.asarray(np.asarray(problem.parameters) * [1.02, 0.99, 1.05])
+
+    step = sharded_gn_step(problem, mesh, kind="log_afc")
+    rsq, th1 = step(freqs, ref, th0)
+
+    rf = problem.getResidualFunction(freqs, ref, kind="log_afc")
+    r, J = rf.value_and_jac(th0)
+    r = np.asarray(r); J = np.asarray(J)
+    assert abs(rsq - float(r @ r)) <= 1e-9 * max(1.0, float(r @ r))
+    dx = np.linalg.solve(J.T @ J, -(J.T @ r))
+    np.testing.assert_allclose(np.asarray(th1), np.asarray(th0) + dx,
+                               rtol=1e-9)
+    # the GN step actually reduces the residual on this well-posed config
+    r1 = np.asarray(rf(th1))
+    assert r1 @ r1 < float(r @ r)

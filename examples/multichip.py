@@ -41,3 +41,33 @@ theta = p.parameters * jnp.asarray([1.05, 1.05, 1.2])
 for it in range(3):
     loss, grad, theta = step(freqs, ref, theta)
     print(f"iter {it}: loss={float(loss):.6e}")
+
+# Gauss-Newton over the mesh: the second-order inverse iteration — J rows
+# shard over 'freq', the (p, p) normal-equation contractions psum across
+# chips, the tiny damped solve runs on the host in f64.  With an 8-chip
+# slice + FRF compression this is the BASELINE <60 s 100k-DOF recipe.
+from plate_inverse_problem_tpu.parallel import sharded_gn_step
+
+theta = p.parameters * jnp.asarray([1.05, 1.05, 1.2])
+# Levenberg-Marquardt damping schedule: a full GN step overshoots from a
+# 20% start on the resonant log-AFC residual, so accept a step only when
+# |r|^2 drops, else retry with 10x damping
+gn = sharded_gn_step(p, mesh, kind="log_afc")  # one compiled mesh program
+# Levenberg-Marquardt: gn() returns |r|^2 at the CURRENT theta plus the
+# proposed update, so acceptance is judged on the next evaluation — reject
+# means re-proposing from the same theta with 10x damping
+lam = 1e-2
+rsq, theta_prop = gn(freqs, ref, theta, damping=lam)
+for it in range(10):
+    rsq_prop, theta_next = gn(freqs, ref, theta_prop, damping=lam)
+    if rsq_prop <= rsq:            # accept the proposal
+        theta, rsq, theta_prop = theta_prop, rsq_prop, theta_next
+        lam = max(lam / 3.0, 1e-4)
+        print(f"GN iter {it}: |r|^2={rsq:.6e} (lambda={lam:.0e})")
+    else:                          # reject: damp harder from the same theta
+        lam *= 10.0
+        _, theta_prop = gn(freqs, ref, theta, damping=lam)
+        print(f"GN iter {it}: rejected ({rsq_prop:.3e} > {rsq:.3e}), "
+              f"lambda -> {lam:.0e}")
+err = np.asarray(theta) / np.asarray(p.parameters) - 1
+print(f"recovered param rel err: {np.array2string(err, precision=2)}")

@@ -190,9 +190,13 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     sharding annotations.  The tiny damped normal solve runs on the host
     in f64 (TPU has no 64-bit factorization; p is 3-10).
 
-    Returns ``step(freqs, ref_fr, params) -> (rsq, new_params)`` taking
-    *unpadded* host arrays; padding rows are masked to zero weight.
+    Returns ``step(freqs, ref_fr, params, damping=None) -> (rsq,
+    new_params)`` taking *unpadded* host arrays; padding rows are masked to
+    zero weight.  ``damping`` overrides the constructor default per call —
+    it only touches the host-side normal solve, so Levenberg-Marquardt
+    retry loops reuse the one compiled mesh program.
     """
+    _damping = damping
     core, opdata = problem.getFRCore()
 
     def resid(params, freqs, ref, n_true, od):
@@ -225,16 +229,17 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
         out_shardings=(repl, repl, repl),
     )
 
-    def step(freqs, ref, params):
+    def step(freqs, ref, params, damping: float | None = None):
         import numpy as np
 
+        lam = float(damping if damping is not None else _damping)
         n_true = jnp.asarray(freqs).shape[0]
         fs = shard_frequencies(mesh, jnp.asarray(freqs))
         rs = shard_frequencies(mesh, jnp.asarray(ref))
         params = jnp.asarray(params)
         rsq, JtJ, Jtr = jitted(fs, rs, n_true, params, opdata)
         A = np.array(JtJ, np.float64)
-        A[np.diag_indices_from(A)] *= 1.0 + damping
+        A[np.diag_indices_from(A)] *= 1.0 + lam
         dx = np.linalg.solve(A, -np.asarray(Jtr, np.float64))
         return float(rsq), params + jnp.asarray(dx, params.dtype)
 

@@ -22,7 +22,7 @@ __all__ = ["frf_oracle", "oracle_check"]
 
 
 def _host_system(problem, params, omega: float):
-    """(K_dyn_csc, rhs, readout) of the UNSCALED reduced system at one
+    """(A_dyn_csc, rhs) of the UNSCALED reduced system at one
     angular frequency — mirrors the core's operator algebra
     (problem.py getFRCore) in plain f64/complex128 numpy."""
     import scipy.sparse as sp

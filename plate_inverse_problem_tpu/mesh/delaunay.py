@@ -227,7 +227,9 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
 
     points = np.concatenate([bpts, cand], axis=0)
 
-    def has_all_segments(tris):
+    def missing_segments(tris):
+        # returns the list of REQUIRED boundary segments absent from tris
+        # (empty/falsy = all segments present)
         e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
                             tris[:, [2, 0]]], axis=0)
         e = np.sort(e, axis=1)
@@ -238,7 +240,7 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
 
     tris = _keep_inside(loops, points, _triangulate(points))
     for _ in range(max_recovery):
-        missing = has_all_segments(tris)
+        missing = missing_segments(tris)
         if not missing:
             break
         # a missing border segment means an interior point crowds it or a
@@ -292,7 +294,7 @@ def build_mesh(loops, h: float | None = None, *, smooth: int = 4,
         points = points.copy()
         points[interior] = upd
         tris = _keep_inside(loops, points, _triangulate(points))
-        if has_all_segments(tris):
+        if missing_segments(tris):
             points, tris = prev_points, prev_tris
             break
 

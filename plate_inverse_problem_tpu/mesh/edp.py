@@ -31,14 +31,20 @@ _SAFE_FUNCS = {
 }
 _SAFE_VARS = {"pi": np.pi}
 
-# FreeFEM's ^ is power, not xor — map BitXor accordingly
 _BINOPS = {
     ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
     ast.Div: operator.truediv, ast.Pow: operator.pow,
     ast.Mod: operator.mod, ast.FloorDiv: operator.floordiv,
-    ast.BitXor: operator.pow,
 }
 _UNARYOPS = {ast.UAdd: operator.pos, ast.USub: operator.neg}
+
+
+def _strip_comments(text: str) -> str:
+    """Remove ``//`` line comments and ``/* */`` blocks before any regex
+    scan — a commented-out ``on(1, ...)`` or ``real L = ...;`` must not
+    leak into the parsed geometry or the Dirichlet label set."""
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.DOTALL)
+    return re.sub(r"//[^\n]*", " ", text)
 
 
 def _eval(expr: str, env: dict):
@@ -77,6 +83,11 @@ def _eval(expr: str, env: dict):
         raise ValueError(
             f"disallowed syntax {type(node).__name__} in .edp expression")
 
+    # FreeFEM's ^ is power with power precedence (tighter than * and unary
+    # minus, right-associative).  Translating the TOKEN to ** before parsing
+    # preserves that grouping; mapping ast.BitXor to pow would inherit
+    # Python's xor precedence and evaluate Lx*Ly^2 as (Lx*Ly)**2.
+    expr = expr.replace("^", "**")
     try:
         tree = ast.parse(expr, mode="eval")
     except SyntaxError as err:
@@ -92,6 +103,7 @@ def parse_edp_geometry(text: str):
     and ``calls`` is the ordered buildmesh list of (border_name,
     n_segments, reversed).
     """
+    text = _strip_comments(text)
     params: dict[str, float] = {}
     # \b, not ^: FreeFEM allows several statements per line
     for m in re.finditer(r"\b(?:real|int)\s+(\w+)\s*=\s*([^;]+);", text):
@@ -143,7 +155,7 @@ def parse_dirichlet_labels(text: str) -> tuple[int, ...]:
     script has none — caller falls back to label 1).
     """
     labels: set[int] = set()
-    for m in re.finditer(r"\bon\s*\(([^)]*)\)", text):
+    for m in re.finditer(r"\bon\s*\(([^)]*)\)", _strip_comments(text)):
         for arg in m.group(1).split(","):
             arg = arg.strip()
             if "=" in arg:

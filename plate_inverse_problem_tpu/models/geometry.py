@@ -38,9 +38,10 @@ def _parse_edp_params(text: str) -> dict[str, float]:
     Expressions like ``100*1e-3`` or ``Ly/2 - rAccel`` go through the
     AST-whitelist evaluator (mesh/edp._eval) — .edp files are untrusted
     input, so no Python ``eval``."""
-    from ..mesh.edp import _eval
+    from ..mesh.edp import _eval, _strip_comments
 
     out: dict[str, float] = {}
+    text = _strip_comments(text)
     # \b, not ^: FreeFEM allows several statements per line
     # (``real Lx = 0.1; real Ly = 0.02;``)
     for m in re.finditer(r"\breal\s+(\w+)\s*=\s*([^;]+);", text):

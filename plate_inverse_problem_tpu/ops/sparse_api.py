@@ -31,8 +31,6 @@ factorization is natively 64-bit and refinement is skipped.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import numpy as np
 
 import jax
@@ -78,28 +76,51 @@ def find_permutation(arr1: np.ndarray, arr2: np.ndarray,
     return is1[inv2].astype(arr1.dtype)
 
 
-@dataclass(frozen=True)
 class SymbolicPattern:
     """Static sparsity pattern of a square matrix — the 'symbolic' half of
     the reference's symbolic/numeric split (InnerState.add_mat performs the
     UMFPACK symbolic factorization once per pattern, InnerState.h:120-162).
 
     On TPU the symbolic stage is trace-time data: the canonical entry order
-    plus the size.  Hashable so it can ride as a static argument.
+    plus the size.  Stores the indices as int32 numpy arrays (a tuple of
+    boxed Python ints would cost ~30x the memory and an O(nnz) conversion
+    on every matvec/spsolve at FEM sizes); hashable — via a lazily computed
+    content digest — so it can still ride as a static jit argument.
     """
-    n: int
-    rows: tuple = field(repr=False)   # tuple[int] — hashable static storage
-    cols: tuple = field(repr=False)
+
+    __slots__ = ("n", "_rows", "_cols", "_hash")
+
+    def __init__(self, n: int, rows, cols):
+        self.n = int(n)
+        self._rows = np.ascontiguousarray(rows, dtype=np.int32)
+        self._cols = np.ascontiguousarray(cols, dtype=np.int32)
+        self._rows.setflags(write=False)
+        self._cols.setflags(write=False)
+        self._hash = None
 
     @property
     def nnz(self) -> int:
-        return len(self.rows)
+        return int(self._rows.size)
 
     def rows_array(self) -> np.ndarray:
-        return np.asarray(self.rows, dtype=np.int32)
+        return self._rows
 
     def cols_array(self) -> np.ndarray:
-        return np.asarray(self.cols, dtype=np.int32)
+        return self._cols
+
+    def __hash__(self):
+        if self._hash is None:
+            self._hash = hash(
+                (self.n, self._rows.tobytes(), self._cols.tobytes()))
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, SymbolicPattern) and self.n == other.n
+                and np.array_equal(self._rows, other._rows)
+                and np.array_equal(self._cols, other._cols))
+
+    def __repr__(self):
+        return f"SymbolicPattern(n={self.n}, nnz={self.nnz})"
 
 
 def create_symbolic(N: int, indices: np.ndarray,
@@ -129,7 +150,7 @@ def create_symbolic(N: int, indices: np.ndarray,
     uniq = np.unique(key)
     rows = (uniq % N).astype(np.int32)
     cols = (uniq // N).astype(np.int32)
-    pat = SymbolicPattern(int(N), tuple(rows.tolist()), tuple(cols.tolist()))
+    pat = SymbolicPattern(int(N), rows, cols)
     return (rows, cols), pat
 
 
@@ -187,6 +208,14 @@ def spsolve(pattern: SymbolicPattern, data, b, transpose: bool = False,
     hessian (the reference's batch modes 0-4, Sparse.py:238-282, are
     subsumed by vmap's native batching of the custom_linear_solve).
 
+    Accelerator complex caveat: demoted complex solves factor the
+    split-real 2n x 2n embedding in f32 (no complex LU is attempted on
+    device), but the complex ``data``/``b`` arrays themselves must be
+    representable on the backend — true for CPU and for backends that
+    admit complex128 storage.  If the platform rejects complex128
+    tensors outright, pass the split-real embedding yourself or use the
+    plate engines (ops/mixed.py), which are split-complex end to end.
+
     ``indices``: optional traced ``(rows, cols)`` override — see
     :func:`matvec` for when to use it.
     """
@@ -200,12 +229,17 @@ def spsolve(pattern: SymbolicPattern, data, b, transpose: bool = False,
     b = jnp.asarray(b)
     dt = jnp.promote_types(data.dtype, b.dtype)
     wide = dt in (jnp.float64, jnp.complex128)
-    # TPU has no 64-bit LU; CPU (and the virtual-device test mesh) does
-    demote = wide and jax.default_backend() == "tpu"
-    fdt = _twin32(dt) if demote else dt
+    # Only the CPU backend has a 64-bit LU; every accelerator (tpu/axon/...)
+    # takes the demoted-factorization + refinement path
+    demote = wide and jax.default_backend() != "cpu"
     if refine_steps is None:
         refine_steps = 3 if demote else 0
     is_cpx = jnp.issubdtype(dt, jnp.complexfloating)
+    # Demoted complex solves factor the split-real 2n x 2n embedding
+    # [[Ar, -Ai], [Ai, Ar]] in f32: complex128 is not a TPU type at all,
+    # and the split form keeps the whole numeric path on plain-f32 MXU LU.
+    split_cpx = is_cpx and demote
+    fdt = (jnp.float32 if split_cpx else _twin32(dt)) if demote else dt
 
     if transpose:
         rows, cols = cols, rows
@@ -213,37 +247,53 @@ def spsolve(pattern: SymbolicPattern, data, b, transpose: bool = False,
     def solver(tr: bool):
         rr, cc = (cols, rows) if tr else (rows, cols)
 
-        def slv(_, bb):
+        def _factor(dre, dim):
+            if split_cpx:
+                Ar = to_dense(dre, rr, cc, n).astype(fdt)
+                Ai = to_dense(dim, rr, cc, n).astype(fdt)
+                Abig = jnp.block([[Ar, -Ai], [Ai, Ar]])
+                return jax.scipy.linalg.lu_factor(Abig)
             A = to_dense(data.astype(dt), rr, cc, n)
-            lu, piv = jax.scipy.linalg.lu_factor(A.astype(fdt))
-            u = jax.scipy.linalg.lu_solve((lu, piv), bb.astype(fdt))
-            if refine_steps == 0:
-                return u.astype(dt)
-            # refinement: exact 64-bit residual through the flat SpMV
-            # (split re/im pairs — complex128 is not a TPU type)
-            d64 = jax.lax.stop_gradient(data).astype(
-                jnp.complex128 if is_cpx else jnp.float64)
+            return jax.scipy.linalg.lu_factor(A.astype(fdt))
+
+        def _apply_inv(fac, v_re, v_im):
+            if split_cpx:
+                vbig = jnp.concatenate([v_re, v_im]).astype(fdt)
+                ubig = jax.scipy.linalg.lu_solve(fac, vbig)
+                return (ubig[:n].astype(jnp.float64),
+                        ubig[n:].astype(jnp.float64))
+            if is_cpx:
+                u = jax.scipy.linalg.lu_solve(
+                    fac, (v_re + 1j * v_im).astype(fdt))
+                return (jnp.real(u).astype(jnp.float64),
+                        jnp.imag(u).astype(jnp.float64))
+            u = jax.scipy.linalg.lu_solve(fac, v_re.astype(fdt))
+            return u.astype(jnp.float64), None
+
+        def slv(_, bb):
+            d64 = jax.lax.stop_gradient(data)
             dre = jnp.real(d64).astype(jnp.float64)
             dim = jnp.imag(d64).astype(jnp.float64) if is_cpx else None
             b_re = jnp.real(bb).astype(jnp.float64)
-            b_im = jnp.imag(bb).astype(jnp.float64) if is_cpx else None
-            u_re = jnp.real(u).astype(jnp.float64)
-            u_im = jnp.imag(u).astype(jnp.float64) if is_cpx else None
+            b_im = (jnp.imag(bb).astype(jnp.float64) if is_cpx
+                    else jnp.zeros_like(b_re))
+            fac = _factor(dre, dim)
+            u_re, u_im = _apply_inv(fac, b_re, b_im)
+            # refinement: exact 64-bit residual through the flat SpMV
+            # (split re/im pairs — complex128 is not a TPU type)
             for _ in range(refine_steps):
                 Ar_u = spmv_flat(dre, rr, cc, u_re, n)
                 if is_cpx:
                     r_re = b_re - (Ar_u - spmv_flat(dim, rr, cc, u_im, n))
                     r_im = b_im - (spmv_flat(dim, rr, cc, u_re, n)
                                    + spmv_flat(dre, rr, cc, u_im, n))
-                    corr = jax.scipy.linalg.lu_solve(
-                        (lu, piv), (r_re + 1j * r_im).astype(fdt))
-                    u_re = u_re + jnp.real(corr).astype(jnp.float64)
-                    u_im = u_im + jnp.imag(corr).astype(jnp.float64)
                 else:
                     r_re = b_re - Ar_u
-                    corr = jax.scipy.linalg.lu_solve(
-                        (lu, piv), r_re.astype(fdt))
-                    u_re = u_re + corr.astype(jnp.float64)
+                    r_im = b_im
+                c_re, c_im = _apply_inv(fac, r_re, r_im)
+                u_re = u_re + c_re
+                if is_cpx:
+                    u_im = u_im + c_im
             out = (u_re + 1j * u_im) if is_cpx else u_re
             return out.astype(dt)
 

@@ -195,9 +195,20 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     zero weight.  ``damping`` overrides the constructor default per call —
     it only touches the host-side normal solve, so Levenberg-Marquardt
     retry loops reuse the one compiled mesh program.
+
+    Big-DOF sweeps are segmented across device calls exactly like
+    ``ResidualFunction`` (the axon runtime kills single executions beyond
+    ~a minute; an r+J call is ~(1+p) sweeps of work): the per-call
+    frequency budget is ``problem._call_segment(jac=True)`` *per chip*,
+    and the J^T J / J^T r / |r|^2 ingredients accumulate across segments
+    on the host — GN's normal equations are sums over rows, so host
+    accumulation is exact.
     """
     _damping = damping
     core, opdata = problem.getFRCore()
+    nf_axis = mesh.shape["freq"]
+    seg_per_chip = problem._call_segment(jac=True)
+    call_budget = None if seg_per_chip is None else seg_per_chip * nf_axis
 
     def resid(params, freqs, ref, n_true, od):
         fr = core(freqs, params, od)
@@ -229,18 +240,56 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
         out_shardings=(repl, repl, repl),
     )
 
-    def step(freqs, ref, params, damping: float | None = None):
-        import numpy as np
+    def _ingredients_all(freqs, ref, params):
+        """(rsq, JtJ, Jtr) over the full frequency set, segmented across
+        device calls when the per-call budget demands it."""
+        freqs = jnp.asarray(freqs)
+        ref = jnp.asarray(ref)
+        F = int(freqs.shape[0])
+        if call_budget is None or F <= call_budget:
+            fs = shard_frequencies(mesh, freqs)
+            rs = shard_frequencies(mesh, ref)
+            rsq, JtJ, Jtr = jitted(fs, rs, F, params, opdata)
+            return float(rsq), JtJ, Jtr
+        # equal-shape segments (one compile): pad to a multiple of the
+        # budget by repeating the last frequency, mask via per-segment
+        # true counts
+        n_seg = -(-F // call_budget)
+        pad = n_seg * call_budget - F
+        fpad = jnp.concatenate([freqs, jnp.repeat(freqs[-1:], pad)])
+        rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad)])
+        rsq_acc, JtJ_acc, Jtr_acc = 0.0, None, None
+        for s in range(n_seg):
+            lo = s * call_budget
+            n_true = call_budget if s < n_seg - 1 else call_budget - pad
+            fs = shard_frequencies(mesh, fpad[lo:lo + call_budget])
+            rs = shard_frequencies(mesh, rpad[lo:lo + call_budget])
+            rsq, JtJ, Jtr = jitted(fs, rs, n_true, params, opdata)
+            rsq_acc += float(rsq)
+            JtJ_acc = JtJ if JtJ_acc is None else JtJ_acc + JtJ
+            Jtr_acc = Jtr if Jtr_acc is None else Jtr_acc + Jtr
+        return rsq_acc, JtJ_acc, Jtr_acc
 
+    def step(freqs, ref, params, damping: float | None = None):
         lam = float(damping if damping is not None else _damping)
-        n_true = jnp.asarray(freqs).shape[0]
-        fs = shard_frequencies(mesh, jnp.asarray(freqs))
-        rs = shard_frequencies(mesh, jnp.asarray(ref))
         params = jnp.asarray(params)
-        rsq, JtJ, Jtr = jitted(fs, rs, n_true, params, opdata)
+        rsq, JtJ, Jtr = _ingredients_all(freqs, ref, params)
         A = np.array(JtJ, np.float64)
-        A[np.diag_indices_from(A)] *= 1.0 + lam
-        dx = np.linalg.solve(A, -np.asarray(Jtr, np.float64))
+        # Marquardt (multiplicative) damping — scale-invariant, which
+        # matters with UNSCALED physical parameters whose J^T J diagonals
+        # span ~20 orders of magnitude (an absolute/max-relative floor
+        # would silently crush the stiff directions).  A ~zero diagonal
+        # means the parameter is unidentifiable on the sampled band: no
+        # damping makes that step meaningful, so pin the direction
+        # (dx_i = 0) and solve the identifiable subsystem.
+        d = A.diagonal()
+        live = d > d.max() * 1e-300 if d.max() > 0 else np.zeros_like(d, bool)
+        dx = np.zeros(A.shape[0])
+        if live.any():
+            As = A[np.ix_(live, live)].copy()
+            As[np.diag_indices_from(As)] *= 1.0 + lam
+            dx[live] = np.linalg.solve(
+                As, -np.asarray(Jtr, np.float64)[live])
         return float(rsq), params + jnp.asarray(dx, params.dtype)
 
     return step

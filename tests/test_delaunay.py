@@ -220,3 +220,36 @@ def test_adapted_mesh_concentrates_on_solution_feature():
     mid0 = 0.5 * (m0.nodes[m0.edges[:, 0]] + m0.nodes[m0.edges[:, 1]])
     near0 = el0[np.hypot(mid0[:, 0] - x0, mid0[:, 1]) < w].mean()
     assert near < near0
+
+
+def test_edp_power_operator_precedence():
+    """FreeFEM's ^ is power with POWER precedence: Lx*Ly^2 must evaluate
+    Lx*(Ly**2) and -x^2 must evaluate -(x**2) — an ast.BitXor mapping would
+    inherit Python's xor precedence and group (Lx*Ly)**2 silently."""
+    from plate_inverse_problem_tpu.mesh.edp import _eval
+
+    env = {"Lx": 3.0, "Ly": 2.0}
+    assert _eval("Lx*Ly^2", env) == 12.0
+    assert _eval("-Ly^2", env) == -4.0
+    assert _eval("Ly^3^2", env) == 2.0 ** 9  # right-associative
+    assert _eval("2^-1", env) == 0.5
+
+
+def test_edp_comments_do_not_leak():
+    """Commented-out statements (// and /* */) must not contribute params,
+    borders, or Dirichlet labels."""
+    from plate_inverse_problem_tpu.mesh.edp import (
+        parse_dirichlet_labels, parse_edp_geometry,
+    )
+
+    text = """
+    real Lx = 0.1;
+    // real Lx = 99.0;
+    /* real Ly = 77.0; */
+    real Ly = 0.02;
+    // on(5, u=0, ux=0)
+    on(2, w=0);
+    """
+    params, borders, calls = parse_edp_geometry(text)
+    assert params["Lx"] == 0.1 and params["Ly"] == 0.02
+    assert parse_dirichlet_labels(text) == (2,)

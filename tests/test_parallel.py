@@ -149,3 +149,24 @@ def test_sharded_gn_step_matches_host_normal_equations(problem):
     # the GN step actually reduces the residual on this well-posed config
     r1 = np.asarray(rf(th1))
     assert r1 @ r1 < float(r @ r)
+
+
+def test_sharded_gn_step_segmented_matches_unsegmented(problem, monkeypatch):
+    """Host-level call segmentation (the axon kill-window guard) must not
+    change the GN ingredients: force a small per-chip budget and compare
+    against the unsegmented step, including a ragged tail segment."""
+    from plate_inverse_problem_tpu.parallel import sharded_gn_step
+
+    mesh = make_mesh()
+    freqs = np.linspace(40, 600, 22)   # 3 segments of 8 with a ragged tail
+    ref = np.asarray(problem.solveForward(freqs))
+    th0 = jnp.asarray(np.asarray(problem.parameters) * [1.02, 0.99, 1.05])
+
+    rsq_u, th_u = sharded_gn_step(problem, mesh)(freqs, ref, th0)
+
+    monkeypatch.setattr(type(problem), "_call_segment",
+                        lambda self, jac=False: 1)  # budget = 1 * n_freq_axis
+    rsq_s, th_s = sharded_gn_step(problem, mesh)(freqs, ref, th0)
+
+    assert abs(rsq_s - rsq_u) <= 1e-9 * max(1.0, rsq_u)
+    np.testing.assert_allclose(np.asarray(th_s), np.asarray(th_u), rtol=1e-9)

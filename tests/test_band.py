@@ -120,3 +120,29 @@ def test_band_symmetric_path(small_problem):
     y_flat = np.asarray(p_flat.getFRFunction()(freqs, th))
     y_band = np.asarray(p_band.getFRFunction()(freqs, th))
     assert np.abs(y_band - y_flat).max() / np.abs(y_flat).max() < 1e-8
+
+
+def test_pallas_band_mv_matches_band_mv(small_problem):
+    """The Pallas streaming kernel (interpret mode on CPU) must reproduce
+    the XLA batched-GEMM band_mv bit-for-bit on a REAL plate operator
+    layout — this also pins the edge-window assumption (flat_to_band
+    leaves the out-of-range window slots zero, so the kernel's clamped
+    edge loads multiply zeros)."""
+    from plate_inverse_problem_tpu.ops.pallas_band import band_mv_pallas
+
+    geom, mat, acc = small_problem
+    p = pip.Problem(geom, mat, acc)
+    rows = np.asarray(p.op.pattern.rows)
+    cols = np.asarray(p.op.pattern.cols)
+    n = p.n_free
+    layout = build_band_layout(rows, cols, n)
+
+    rng = np.random.default_rng(11)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    band = flat_to_band(jnp.asarray(vals), layout, jnp.asarray(layout.lin))
+    for shape in [(16, n), (3, n), (n,), (2, 4, n)]:
+        X = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        y_ref = np.asarray(band_mv(band.astype(jnp.float32), X, layout))
+        y_pal = np.asarray(band_mv_pallas(band, X, layout, interpret=True))
+        den = max(float(np.max(np.abs(y_ref))), 1e-30)
+        assert np.max(np.abs(y_pal - y_ref)) / den < 1e-6, shape

@@ -149,6 +149,27 @@ def band_mv(band, x, layout: BandLayout, precision=None):
     return y.reshape(lead + (nb * b,))[..., :n]
 
 
+def band_mv_f32(band, x, layout: BandLayout, precision=None):
+    """f32 band matvec with an optional Pallas streaming backend.
+
+    Dispatch knob for the PRECONDITIONER-grade call sites (two-grid
+    smoother, refinement residuals): env ``PIP_PALLAS_BAND=1`` routes to
+    ops/pallas_band.band_mv_pallas (opt-in until chip-proven; exact
+    agreement pinned by tests/test_band.py); default and CPU stay on the
+    XLA batched GEMM.  The exact f64 apply never dispatches here.
+    """
+    import os
+
+    import jax
+
+    if (os.environ.get("PIP_PALLAS_BAND", "0") == "1"
+            and jax.default_backend() != "cpu"):
+        from .pallas_band import band_mv_pallas
+
+        return band_mv_pallas(band, x, layout)
+    return band_mv(band, x, layout, precision=precision)
+
+
 @dataclass(frozen=True)
 class RectBandLayout:
     """Rectangular block-band layout for a prolongation P (fine x coarse).

@@ -246,10 +246,10 @@ def twogrid_apply(band0, dinv, lmax, Pt, Kc_inv, r32, layout, rl,
     one (nc, nc) GEMM."""
     import jax
 
-    from .band import band_mv, rect_band_mv, rect_band_tmv
+    from .band import band_mv_f32, rect_band_mv, rect_band_tmv
 
     def K_mv(x):
-        return band_mv(band0, x, layout)
+        return band_mv_f32(band0, x, layout)
 
     sm = {"dinv": dinv, "lmax": lmax}
     e = _chebyshev_smooth(sm, K_mv, r32, steps=smooth_steps)
@@ -295,12 +295,12 @@ def multilevel_apply(arrays, static, K0_flat, rows0, cols0, r,
     def level_mv(l):
         if l == 0:
             if band0 is not None:
-                from .band import band_mv
+                from .band import band_mv_f32
 
                 # DEFAULT precision: preconditioner arithmetic (see
                 # ops/mixed.precond) — bf16 multiplies, f32 accumulate
-                return lambda x: band_mv(band0, x, layout,
-                                         precision=jax.lax.Precision.DEFAULT)
+                return lambda x: band_mv_f32(band0, x, layout,
+                                             precision=jax.lax.Precision.DEFAULT)
             Kf, rws, cls = K032, rows0, cols0
         else:
             lv = levels[l]

@@ -718,7 +718,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
     if mg is not None and "tg_band0" in mg:
         # band tier: scatter/gather-free symmetric two-grid cycle
-        from .band import band_mv
+        from .band import band_mv_f32
         from .mg import twogrid_apply
 
         tg_band0 = mg["tg_band0"]
@@ -732,7 +732,7 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                                  tg_layout, tg_rl, mg["slots"])
 
         def Kref32_mv(x32):
-            return band_mv(tg_band0, x32, tg_layout)
+            return band_mv_f32(tg_band0, x32, tg_layout)
 
         def precond32(x32):
             # f32 refinement rounds around the cycle: each round squares

@@ -42,7 +42,8 @@ if not rows:
                  "to fill this table the moment it returns)* | | | | | | | | |")
 for r in rows:
     lines.append(
-        "| {n_free} | {nnz} | {ctor_s} | {sf} | {ss} | {sps} | {err:.1e} | {gf} | {gs} |".format(
+        "| {n_free}{tag} | {nnz} | {ctor_s} | {sf} | {ss} | {sps} | {err:.1e} | {gf} | {gs} |".format(
+            tag=" (pallas band)" if r.get("pallas_band") else "",
             n_free=r["n_free"], nnz=r["nnz"], ctor_s=r.get("ctor_s", "-"),
             sf=r.get("sweep_first_s", "-"), ss=r.get("sweep_steady_s", "-"),
             sps=r.get("solves_per_s", "-"), err=r.get("worst_rel_err", float("nan")),

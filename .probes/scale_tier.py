@@ -24,6 +24,8 @@ DO_GN = os.environ.get("GN", "1") == "1"
 F = int(os.environ.get("NFREQ", "512"))
 
 rec = {"refine": REFINE, "freqs": F}
+if os.environ.get("PIP_PALLAS_BAND") == "1":
+    rec["pallas_band"] = True
 
 acc = pip.Accelerometer('AP1030')
 geom = pip.Geometry('sh_i', acc,

@@ -99,10 +99,16 @@ if DO_SPMV:
     from plate_inverse_problem_tpu.ops.band import band_mv, flat_to_band
 
     core, od = p.getFRCore()
+    lay = getattr(p, "_band_layout", None)
+    if lay is None or "band_lin" not in od:
+        print("SPMV shootout skipped: band layout inactive at this tier",
+              flush=True)
+        DO_SPMV = False
+
+if DO_SPMV:
     rows_j = od["rows"]; cols_j = od["cols"]
     Kf64 = jnp.asarray(np.real(K_flat), jnp.float64)
-    lay = p._band_layout
-    lin = od["band_lin"]
+    lin = od.get("band_lin")
     X = jnp.asarray(np.random.default_rng(0).standard_normal((16, n)))
 
     f_scat = jax.jit(lambda d, x: spmv_flat(d, rows_j, cols_j, x, n))

@@ -380,6 +380,12 @@ class Problem:
                                         # 'flat' (scatter SpMV), 'band' (RCM
                                         # block-tridiagonal MXU matmuls), or
                                         # 'auto' (band above ~8k DOF)
+        basis: str = "arpack",          # mixed-engine band-basis builder:
+                                        # 'arpack' (host shift-invert, needs
+                                        # one f64 splu) or 'lobpcg' (device
+                                        # LOBPCG reusing the complement
+                                        # preconditioner — factorization-
+                                        # free, ops/lobpcg.py)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -407,6 +413,11 @@ class Problem:
                 "options: 'auto', 'flat', 'band'."
             )
         self.operator_layout = operator_layout
+        if basis not in ("arpack", "lobpcg"):
+            raise ValueError(
+                f"Unknown basis {basis!r}; valid options: 'arpack', 'lobpcg'."
+            )
+        self.basis = basis
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -917,17 +928,15 @@ class Problem:
         K_ref_eq = K_ref * ss
         M_eq = self.MInertia * ss
         om_max = 2.0 * np.pi * self.f_max
-        W64, _ = band_basis_host(
-            K_ref_eq, M_eq, rows_h, cols_h, n,
-            omega_max=om_max,
-        )
 
         base = {
             "rows": jnp.asarray(rows_h),
             "cols": jnp.asarray(cols_h),
             "MIn": jnp.asarray(M_eq, jnp.float64),
             "fIn": jnp.asarray(pvec(self.fInertia * scale_vec), jnp.float64),
-            "W64": jnp.asarray(W64, jnp.float64),
+            # "W64" (the band basis) is added AFTER the preconditioner
+            # build below: the 'lobpcg' basis builder reuses the complement
+            # preconditioner as its T ~= K^-1 (ops/lobpcg.py)
         }
         if layout is not None:
             # the scatter targets ride in opdata (index arrays as closure
@@ -1097,6 +1106,47 @@ class Problem:
             base["invK32"] = inv_fn(Kref32, jnp.asarray(rows_h),
                                     jnp.asarray(cols_h))
             base["Kref32"] = Kref32
+
+        # ---- band basis (theta-independent, init-time) -------------------
+        # 'arpack': host shift-invert (one f64 splu — fine to ~100k but the
+        # last factorization in the pipeline).  'lobpcg': device LOBPCG
+        # reusing the complement preconditioner built above as T ~= K^-1 —
+        # factorization-free, the panel work runs on the accelerator
+        # (ops/lobpcg.py).
+        basis_resolved = self.basis
+        if basis_resolved == "lobpcg":
+            if precond_resolved == "mg" and layout is not None:
+                basis_precond = {
+                    "kind": "twogrid", "band0": base["mg_band0"],
+                    "dinv": base["mg_dinv"], "Pt": base["mg_Pt"],
+                    "Kc_inv": base["mg_Kcinv"], "slots": base["mg_slots"],
+                    "lmax": self._mg_lmax, "layout": layout,
+                    "rl": self._mg_rl, "refine": 8,
+                }
+            elif precond_resolved == "dense":
+                basis_precond = {
+                    "kind": "dense", "invK32": base["invK32"], "refine": 8,
+                }
+            else:
+                warnings.warn(
+                    "basis='lobpcg' is not wired for the flat multilevel "
+                    "preconditioner tier; falling back to the ARPACK host "
+                    "basis.", RuntimeWarning)
+                basis_resolved = "arpack"
+        if basis_resolved == "lobpcg":
+            from ..ops.lobpcg import band_basis_lobpcg
+
+            W64, _ = band_basis_lobpcg(
+                K_ref_eq, M_eq, rows_h, cols_h, n, omega_max=om_max,
+                precond=basis_precond, band_layout=layout,
+                band_lin=base.get("band_lin"),
+            )
+        else:
+            W64, _ = band_basis_host(
+                K_ref_eq, M_eq, rows_h, cols_h, n,
+                omega_max=om_max,
+            )
+        base["W64"] = jnp.asarray(W64, jnp.float64)
 
         if self.is_symmetric_path:
             # split (re, im) transform evaluated at f64 theta: the f32/c64

@@ -28,6 +28,7 @@ from .spectral import generalized_eigh
 from .sweep import modal_sweep, direct_sweep, sweep_solve
 from .jacobi_eigh import jacobi_eigh, generalized_jacobi_eigh
 from .mixed import mixed_sweep, band_basis_host, static_preconditioner_host
+from .lobpcg import band_basis_lobpcg, lobpcg_pencil
 from .sparse_api import (SymbolicPattern, create_symbolic, find_permutation,
                          matvec, spsolve, FAMILIES)
 
@@ -48,5 +49,7 @@ __all__ = [
     "generalized_jacobi_eigh",
     "mixed_sweep",
     "band_basis_host",
+    "band_basis_lobpcg",
+    "lobpcg_pencil",
     "static_preconditioner_host",
 ]

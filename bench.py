@@ -45,9 +45,14 @@ def _baseline_solve(f):
 def main():
     import jax
 
-    # persistent compilation cache: amortizes XLA compiles across bench runs
+    # persistent compilation cache: amortizes XLA compiles across bench runs.
+    # PIP_TPU_CACHE_DIR (same env var config.py honors) lets a cold-compile
+    # measurement point at a scratch dir without clobbering the warm cache.
+    import os as _os_cache
+    _cache_dir = _os_cache.environ.get("PIP_TPU_CACHE_DIR",
+                                       "/tmp/pip_tpu_jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/pip_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -87,7 +92,7 @@ def main():
     th = jnp.asarray(np.asarray(p.parameters), jnp.float64)
 
     import glob as _glob
-    cache_before = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
+    cache_before = len(_glob.glob(_cache_dir + "/*"))
     # phase-decomposed first call on the same core program the public
     # wrapper jits: trace+lower (host Python) / compile (XLA compile on a
     # cold cache; executable deserialize + device load on a warm one) /
@@ -108,7 +113,7 @@ def main():
     jax.block_until_ready(fr)
     first_public_s = time.perf_counter() - t0
     compile_s = lower_s + compile_only_s + first_public_s
-    cache_after = len(_glob.glob("/tmp/pip_tpu_jax_cache/*"))
+    cache_after = len(_glob.glob(_cache_dir + "/*"))
     # self-describing compile state: new cache entries => this first call
     # paid a real XLA compile (cold); none => persistent-cache hit (warm)
     compile_state = "cold" if cache_after > cache_before else "warm"

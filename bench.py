@@ -194,11 +194,16 @@ def main():
             # 'spawn', not 'fork': forking after the TPU client holds its
             # device lock can deadlock inside the child rather than raise
             ctx = _mp.get_context("spawn")
-            t0 = time.perf_counter()
             with ctx.Pool(n_workers, initializer=_baseline_init,
                           initargs=(Kcsc, Mcsc, bK, fIn)) as pool:
+                # warm up OUTSIDE the timed window: interpreter spawn,
+                # module imports and CSC unpickling are startup cost, not
+                # solve cost — timing them would deflate the baseline and
+                # inflate vs_baseline
+                pool.map(_baseline_solve, freqs[:n_workers])
+                t0 = time.perf_counter()
                 pool.map(_baseline_solve, freqs[:n_jobs])
-            base_mc_solves_per_sec = n_jobs / (time.perf_counter() - t0)
+                base_mc_solves_per_sec = n_jobs / (time.perf_counter() - t0)
             baseline_label = f"scipy splu pool, {n_workers}/{n_cores} cores"
             log(f"baseline (scipy splu, {n_workers} procs): "
                 f"{base_mc_solves_per_sec:.1f} solves/s")

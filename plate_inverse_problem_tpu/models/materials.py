@@ -244,6 +244,10 @@ class Material(abc.ABC):
         rdt = default_precision().real
 
         def _split_fallback(params, *args):
+            # cast omega (and any extra args) to the platform real dtype
+            # too: an f64 omega would promote intermediates — and any
+            # `1j*...` term — to complex128, which is not a TPU dtype
+            args = tuple(jnp.asarray(a).astype(rdt) for a in args)
             A, B, D = cf(jnp.asarray(params).astype(rdt), *args)
             return ((jnp.real(A), jnp.imag(A)), (jnp.real(B), jnp.imag(B)),
                     (jnp.real(D), jnp.imag(D)))
@@ -269,6 +273,7 @@ class Material(abc.ABC):
         rdt = default_precision().real
 
         def _split_fallback(params, *args):
+            args = tuple(jnp.asarray(a).astype(rdt) for a in args)
             D = cf(jnp.asarray(params).astype(rdt), *args)
             return jnp.real(D), jnp.imag(D)
 

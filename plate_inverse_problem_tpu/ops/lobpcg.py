@@ -199,6 +199,7 @@ def lobpcg_pencil(apply_KM, apply_T, opd, X0, *, n_wanted: int,
 
     relres = np.full(b, np.inf)
     it = 0
+    converged = False
     for it in range(1, maxiter + 1):
         use_p = it > 1
         expand = expand_full if use_p else expand_first
@@ -206,6 +207,7 @@ def lobpcg_pencil(apply_KM, apply_T, opd, X0, *, n_wanted: int,
                                       jnp.asarray(theta))
         relres = np.sqrt(np.maximum(np.asarray(rn2), 0.0))
         if np.all(relres[:n_wanted] < tol):
+            converged = True
             break
 
         lam, C = _reduced_rr(np.asarray(A), np.asarray(B), b)
@@ -217,6 +219,13 @@ def lobpcg_pencil(apply_KM, apply_T, opd, X0, *, n_wanted: int,
         X, P, KX, MX, KP, MP = combine(X, W, P, KX, MX, KW, MW, KP, MP,
                                        Cd, Cpd)
         theta = lam
+
+    if not converged:
+        # maxiter exit: the last combine replaced X/theta AFTER relres was
+        # measured — recompute so the returned residuals describe the
+        # returned block (one extra panel apply, failure path only)
+        *_, rn2 = expand_full(opd, X, P, KX, MX, KP, MP, jnp.asarray(theta))
+        relres = np.sqrt(np.maximum(np.asarray(rn2), 0.0))
 
     # ---- exact M-orthonormalization of the result (host chol) ----------
     order = np.argsort(theta)

@@ -46,8 +46,16 @@ def _kernel(band_ref, xl_ref, xc_ref, xr_ref, out_ref):
 def _band_mv_pallas(band, xp, nb: int, b: int, interpret: bool = False):
     """xp: (B, nb*b) padded input; returns (B, nb*b)."""
     B = xp.shape[0]
-    rt = 256 if b % 256 == 0 else 128
+    # row tile must DIVIDE the block size or the tail rows of each block
+    # are silently never written (nr truncates)
+    if b % 256 == 0:
+        rt = 256
+    elif b % 128 == 0:
+        rt = 128
+    else:
+        rt = b  # small/odd blocks: one row tile per block
     nr = b // rt
+    assert nr * rt == b, (b, rt)
 
     def x_spec(shift):
         def imap(q, r):

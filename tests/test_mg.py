@@ -153,7 +153,7 @@ def test_band_tier_frf_matches_f64_splu_at_resonance():
     correction left the Ritz-defect band error standing (~1.6e-5 FRF at
     n=21k on chip); this exercises the identical code path
     (tg_band0 two-grid + band f64 apply + double band correction)."""
-    import scipy.sparse.linalg as spla
+    from plate_inverse_problem_tpu.diagnostics.oracle import frf_oracle
 
     acc = pip.Accelerometer("AP1030")
     mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
@@ -163,7 +163,6 @@ def test_band_tier_frf_matches_f64_splu_at_resonance():
     )
     p = pip.Problem(geom, mat, acc, engine="mixed", precond="mg",
                     operator_layout="band")
-    n = p.n_free
     p.getFRCore()
     assert p._band_layout is not None  # the forced band layout is active
 
@@ -175,37 +174,6 @@ def test_band_tier_frf_matches_f64_splu_at_resonance():
     freqs = np.array([f_peak, 123.4, 456.7])
     fr = np.asarray(p.getFRFunction()(jnp.asarray(freqs), theta))
 
-    # f64 splu oracle on the same reduced system
-    op = p.op
-    Av, Bv, Dv = (np.asarray(x) for x in
-                  mat.get_ABD_transform(geom.height)(np.asarray(theta), 0.0))
-    K_flat = sum(Av[i] * op.mats["A" + s] + Bv[i] * op.mats["B" + s]
-                 + Dv[i] * op.mats["D" + s]
-                 for i, s in enumerate(MODULI_INDICES))
-    bK = sum(Av[i] * op.lifts["A" + s] + Bv[i] * op.lifts["B" + s]
-             + Dv[i] * op.lifts["D" + s]
-             for i, s in enumerate(MODULI_INDICES))
-    rows, cols = op.pattern.rows, op.pattern.cols
-    Kc = sp.csc_matrix((K_flat, (rows, cols)), shape=(n, n))
-    Mc = sp.csc_matrix((np.asarray(p.MInertia).astype(complex), (rows, cols)),
-                       shape=(n, n))
-    fIn = np.asarray(p.fInertia)
-
-    def row(nm):
-        R, r0 = op.readout[nm]
-        return R.mean(axis=0), r0.mean()
-
-    cu, ou = row("u"); cv, ov = row("v"); cw, ow = row("w")
-    cwx, owx = row("wx"); cwy, owy = row("wy")
-    eff = acc.effective_height * acc.height
-    ts = acc.transverse_sensitivity
-    worst = 0.0
-    for i, f in enumerate(freqs):
-        om = 2 * np.pi * f
-        u = spla.splu((Kc - om ** 2 * Mc).tocsc()).solve(bK - om ** 2 * fIn)
-        uu = (cu - eff * cwx) @ u + (ou - eff * owx)
-        vv = (cv - eff * cwy) @ u + (ov - eff * owy)
-        ww = cw @ u + ow
-        ref = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
-        worst = max(worst, abs(fr[i] - ref) / abs(ref))
+    ref = frf_oracle(p, freqs, np.asarray(theta))
+    worst = float(np.max(np.abs(fr - ref) / np.abs(ref)))
     assert worst <= 1e-6, f"band-tier FRF error {worst:.2e} at peak {f_peak}"

@@ -146,3 +146,32 @@ def test_pallas_band_mv_matches_band_mv(small_problem):
         y_pal = np.asarray(band_mv_pallas(band, X, layout, interpret=True))
         den = max(float(np.max(np.abs(y_ref))), 1e-30)
         assert np.max(np.abs(y_pal - y_ref)) / den < 1e-6, shape
+
+
+def test_pallas_band_mv_small_blocks():
+    """Block sizes that 128/256 do not divide (b=64 here) must still cover
+    every output row — the row tile falls back to rt=b (regression: nr
+    truncation silently zeroed the tail rows of each block).  A synthetic
+    narrow-band pattern keeps the RCM bandwidth under 64."""
+    from plate_inverse_problem_tpu.ops.pallas_band import band_mv_pallas
+
+    n = 400
+    w = 9  # half-bandwidth
+    rows_l, cols_l = [], []
+    for i in range(n):
+        for j in range(max(0, i - w), min(n, i + w + 1)):
+            rows_l.append(i)
+            cols_l.append(j)
+    rows = np.asarray(rows_l)
+    cols = np.asarray(cols_l)
+    layout = build_band_layout(rows, cols, n, block_multiple=64, min_block=64)
+    assert layout.b % 128 != 0  # the case under test
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    band = flat_to_band(jnp.asarray(vals), layout, jnp.asarray(layout.lin))
+    X = jnp.asarray(rng.standard_normal((8, n)).astype(np.float32))
+    y_ref = np.asarray(band_mv(band.astype(jnp.float32), X, layout))
+    y_pal = np.asarray(band_mv_pallas(band, X, layout, interpret=True))
+    den = max(float(np.max(np.abs(y_ref))), 1e-30)
+    assert np.max(np.abs(y_pal - y_ref)) / den < 1e-6

@@ -81,15 +81,20 @@ cwx, owx = row('wx'); cwy, owy = row('wy')
 eff = acc.effective_height * acc.height
 ts = acc.transverse_sensitivity
 rel = 0.0
-for i in [3, int(np.argmax(fr_np)), F // 2, F - 1]:
+ipk = int(np.argmax(fr_np))
+for i in [3, ipk, F // 2, F - 1]:
     om = 2 * np.pi * freqs[i]
     u = spla.splu((Kc - om ** 2 * Mc).tocsc()).solve(bK - om ** 2 * fIn)
     uu = (cu - eff * cwx) @ u + (ou - eff * owx)
     vv = (cv - eff * cwy) @ u + (ov - eff * owy)
     ww = cw @ u + ow
     ref_i = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
-    rel = max(rel, abs(fr_np[i] - ref_i) / abs(ref_i))
+    rel_i = abs(fr_np[i] - ref_i) / abs(ref_i)
+    print(f'  f={freqs[i]:7.2f} Hz  rel err {rel_i:.2e}'
+          f'{"  <-- peak" if i == ipk else ""}', flush=True)
+    rel = max(rel, rel_i)
 rec["worst_rel_err"] = float(rel)
+rec["f_peak"] = round(float(freqs[ipk]), 2)
 print(f'worst rel err vs f64 splu (4 pts incl. peak): {rel:.2e}', flush=True)
 
 if DO_SPMV:

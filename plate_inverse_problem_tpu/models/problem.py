@@ -859,16 +859,7 @@ class Problem:
         # (ops.mixed._residual_scalar_loss)
         ki_prop = bool(self.material.scalar_loss_factor)
 
-        freq_chunk = self.freq_chunk
-        if freq_chunk is None and op.pattern.nnz > 300_000:
-            # per-lane memory is dominated by the FGMRES f64 V/Z bases;
-            # budget ~2 GB of bases per chunk.  Every hot op at this tier
-            # is LATENCY-bound, not batch-bound (the f64 scatter costs
-            # 206 ms at nnz=2e6 whether 16 or 128 frequency lanes ride
-            # along), so the chunk should be as LARGE as memory allows.
-            per_lane = (4.0 * self.n_refine + 6.0) * n * 8.0
-            freq_chunk = int(np.clip(
-                2 ** np.floor(np.log2(max(2.0e9 / per_lane, 4.0))), 4, 64))
+        freq_chunk = self._auto_freq_chunk()
 
         def _mg_kwargs(od):
             # reads the _mg_* attributes at trace time (set further down in
@@ -1362,6 +1353,27 @@ class Problem:
         self._fr_fn_memo = fn
         return fn
 
+    def _auto_freq_chunk(self, lanes: int = 1) -> int | None:
+        """Mixed-engine frequency chunk bounding live FGMRES state to ~2 GB.
+
+        Per-chunk memory is dominated by the f64 Krylov V/Z bases; every
+        hot op at the big-pattern tier is LATENCY-bound, not batch-bound
+        (the f64 scatter costs 206 ms at nnz=2e6 whether 16 or 128 lanes
+        ride along), so the chunk should be as LARGE as memory allows.
+        ``lanes`` counts concurrent solves per frequency point: 1 for a
+        plain sweep, (1 + n_params) for a fused residual+jacfwd call —
+        each JVP tangent runs its own implicit-diff solve alongside the
+        primal, so the Jacobian path must shrink the chunk accordingly
+        (unchunked r+J at n=32k OOMs a 16 GB chip).  None = chunking is
+        pure overhead (small pattern or explicit user override)."""
+        if self.freq_chunk is not None:
+            return self.freq_chunk
+        if self.op.pattern.nnz <= 300_000:
+            return None
+        per_lane = (4.0 * self.n_refine + 6.0) * self.n_free * 8.0 * lanes
+        return int(np.clip(
+            2 ** np.floor(np.log2(max(2.0e9 / per_lane, 4.0))), 4, 64))
+
     def _call_segment(self, jac: bool = False) -> int | None:
         """Max frequencies per device call (None = unsegmented).
 
@@ -1454,6 +1466,13 @@ class Problem:
         assert frequencies.shape[0] == reference_fr.shape[0]
         self._check_band(frequencies)
         core, opdata = self.getFRCore()
+        if (freq_chunk is None and kind != "complex"
+                and self._resolve_engine() == "mixed"):
+            # value_and_jac runs (1 + n_params) solve lanes per frequency
+            # (primal + one implicit-diff JVP per parameter); cap the live
+            # Jacobian chunk to the same memory budget as the plain sweep
+            freq_chunk = self._auto_freq_chunk(
+                lanes=1 + len(np.asarray(self.parameters)))
         return ResidualFunction(
             core, opdata, frequencies, reference_fr, kind, scaling_params,
             freq_chunk=freq_chunk, call_seg=self._call_segment(jac=True),

@@ -41,6 +41,8 @@ matvec parameters with implicit diff at every order.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -165,7 +167,8 @@ def _residual_general(K_mv, Ki_mv, M_mv, sign, om2_64, b_re, b_im,
 # factorizations, so the Hessenberg least-squares runs as incremental
 # complex Givens rotations — pure scalar f64 arithmetic.
 
-_DEBUG_TRACE = False  # print per-iteration GMRES residuals (diagnostics)
+_DEBUG_TRACE = os.environ.get("PIP_MIXED_DEBUG", "") == "1"
+                      # print per-iteration GMRES residuals (diagnostics)
 _PRECOND_REFINE = 1   # f32 refinement rounds inside the dense preconditioner
                       # (each round squares down the eps32*kappa error of
                       #  the f32 inverse for one extra GEMM + f32 SpMV.

@@ -1371,8 +1371,11 @@ class Problem:
         if self.op.pattern.nnz <= 300_000:
             return None
         per_lane = (4.0 * self.n_refine + 6.0) * self.n_free * 8.0 * lanes
+        # floor of 8: vmapped chunks below 8 lanes hit a broken XLA:TPU
+        # small-batch codegen path (NaN at resonance lanes — see the
+        # min-lane padding note in ops/mixed.mixed_sweep)
         return int(np.clip(
-            2 ** np.floor(np.log2(max(2.0e9 / per_lane, 4.0))), 4, 64))
+            2 ** np.floor(np.log2(max(2.0e9 / per_lane, 8.0))), 8, 64))
 
     def _call_segment(self, jac: bool = False) -> int | None:
         """Max frequencies per device call (None = unsegmented).

@@ -168,6 +168,16 @@ def _residual_general(K_mv, Ki_mv, M_mv, sign, om2_64, b_re, b_im,
 # complex Givens rotations — pure scalar f64 arithmetic.
 
 _DEBUG_TRACE = os.environ.get("PIP_MIXED_DEBUG", "") == "1"
+
+# test hook: force the small-batch lane floor (see mixed_sweep) on any
+# backend so the padding path is exercised by the CPU test suite
+_FORCE_MIN_LANES: int | None = None
+
+
+def _min_lanes() -> int:
+    if _FORCE_MIN_LANES is not None:
+        return int(_FORCE_MIN_LANES)
+    return 1 if jax.default_backend() == "cpu" else 8
                       # print per-iteration GMRES residuals (diagnostics)
 _PRECOND_REFINE = 1   # f32 refinement rounds inside the dense preconditioner
                       # (each round squares down the eps32*kappa error of
@@ -666,7 +676,20 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     # C = K - (K (Mw - I) + (Mw - I) K)/2
     E = Mw - jnp.eye(Mw.shape[0], dtype=Mw.dtype)
     Cw = Kw - 0.5 * (Kw @ E + E @ Kw)
-    lam_w, Qw = jnp.linalg.eigh(0.5 * (Cw + Cw.T))    # small m x m, f64
+    Cw_sym = 0.5 * (Cw + Cw.T)
+    lam_w, Qw = jnp.linalg.eigh(Cw_sym)               # small m x m, f64
+    # Rayleigh-quotient refinement of the Ritz values: XLA:TPU's f64 eigh
+    # carries eigenVALUE errors up to ~1e-7 relative (measured 2.4e-4 max
+    # on a 1e6-spread synthetic; LAPACK is ~1e-15).  The resonance
+    # denominators lam - om^2 amplify that error by the modal Q (~1/beta
+    # ~ 300x) into the band resolvent, flooring the FRF at ~6e-5 at scanned
+    # peaks (measured at n=32420) NO MATTER the Krylov budget — the final
+    # band corrections re-inject the mis-located resonance each pass.  One
+    # Rayleigh quotient through the exact f64 matmul (materialized
+    # multiply+reduce, 2.6e-15) is quadratically accurate in the vector
+    # residual and restores ~1e-11 eigenvalues for one (m, m) GEMM.
+    CQ = Cw_sym @ Qw
+    lam_w = jnp.einsum("im,im->m", Qw, CQ) / jnp.einsum("im,im->m", Qw, Qw)
     Zw64 = W64 @ Qw                                    # (n, m) band modes, f64
 
     MZ64 = M_mv(Zw64.T).T                              # (n, m) M-weighted
@@ -944,8 +967,33 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     om64 = omegas.astype(jnp.float64)
     Br64 = B_re.astype(jnp.float64)
     Bi64 = B_im.astype(jnp.float64)
-    if freq_chunk is None or freq_chunk >= om64.shape[0]:
-        return jax.vmap(one)(om64, Br64, Bi64)
+    F = om64.shape[0]
+
+    # TPU floor on the vmapped lane count.  Measured on the axon v5e
+    # runtime (2026-08-18, n=32420 band tier): a 4-lane vmap of this solve
+    # returns NaN at a resonance lane while the identical 8/32/64-lane
+    # calls — and the CPU backend at any lane count — are finite and
+    # correct.  The per-lane math is lane-count-independent, so this is a
+    # small-batch XLA:TPU codegen path (same family as the (1,)-shaped f64
+    # scalar-chain bug in CLAUDE.md, where ops on fewer than ~8 lanes
+    # compile through a different sublane tiling).  Padding tiny batches
+    # with copies of the last frequency keeps every compiled shape on the
+    # known-good >= 8-lane path for one duplicate solve's cost.
+    min_lanes = _min_lanes()
+
+    def vmap_padded(om, br, bi):
+        b = om.shape[0]
+        if b >= min_lanes:
+            return jax.vmap(one)(om, br, bi)
+        r = min_lanes - b
+        om = jnp.concatenate([om, jnp.broadcast_to(om[-1:], (r,))])
+        br = jnp.concatenate([br, jnp.broadcast_to(br[-1:], (r,) + br.shape[1:])])
+        bi = jnp.concatenate([bi, jnp.broadcast_to(bi[-1:], (r,) + bi.shape[1:])])
+        U_re, U_im = jax.vmap(one)(om, br, bi)
+        return U_re[:b], U_im[:b]
+
+    if freq_chunk is None or freq_chunk >= F:
+        return vmap_padded(om64, Br64, Bi64)
 
     # Chunk the frequency axis through a scan (lax.map batch_size): bounds
     # the dominant per-frequency intermediates — (chunk, nnz) gathers in
@@ -965,8 +1013,19 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     amp_f = jnp.max(lam_w[None, :] / den_f, axis=1)
     order = jnp.argsort(amp_f)
     inv_order = jnp.argsort(order)
-    U_re, U_im = jax.lax.map(
-        lambda a: one(*a),
-        (om64[order], Br64[order], Bi64[order]),
-        batch_size=int(freq_chunk))
-    return U_re[inv_order], U_im[inv_order]
+    oms, Brs, Bis = om64[order], Br64[order], Bi64[order]
+    # pad the sorted axis to a chunk multiple: lax.map runs a remainder
+    # chunk as its own smaller vmap, which must also stay on the >= 8-lane
+    # TPU path (see vmap_padded above); duplicated tail lanes land in the
+    # hardest (most resonant) chunk and are sliced off below
+    chunk = max(int(freq_chunk), min_lanes)
+    pad = (-F) % chunk
+    if pad:
+        oms = jnp.concatenate([oms, jnp.broadcast_to(oms[-1:], (pad,))])
+        Brs = jnp.concatenate(
+            [Brs, jnp.broadcast_to(Brs[-1:], (pad,) + Brs.shape[1:])])
+        Bis = jnp.concatenate(
+            [Bis, jnp.broadcast_to(Bis[-1:], (pad,) + Bis.shape[1:])])
+    U_re, U_im = jax.lax.map(lambda a: one(*a), (oms, Brs, Bis),
+                             batch_size=chunk)
+    return U_re[:F][inv_order], U_im[:F][inv_order]

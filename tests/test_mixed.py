@@ -227,6 +227,51 @@ def test_freq_chunked_sweep_matches_unchunked():
     np.testing.assert_allclose(g1, g0, rtol=1e-6)
 
 
+def test_min_lane_padding_matches_unpadded():
+    """TPU small-batch guard: vmapped frequency batches below 8 lanes are
+    padded with duplicates of the last lane (a 4-lane vmap of the solve
+    NaNs at resonance lanes on the axon v5e runtime — measured 2026-08-18
+    at n=32420; 8+ lanes are correct).  Forcing the floor on CPU must
+    reproduce the unpadded results exactly, for the plain-vmap path, the
+    chunked lax.map path (chunk raised to the floor), and gradients."""
+    from plate_inverse_problem_tpu.ops import mixed
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def make(**kw):
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+        return pip.Problem(geom, mat, acc, engine="mixed", **kw)
+
+    freqs3 = np.linspace(60.0, 400.0, 3)   # < floor -> vmap padding
+    freqs7 = np.linspace(60.0, 400.0, 7)   # chunked with remainder padding
+    p0 = make()
+    theta = np.asarray(p0.parameters)
+    y3_ref = np.asarray(p0.getFRFunction()(freqs3, theta))
+    ref7 = p0.solveForward(freqs7)
+    g_ref = np.asarray(
+        p0.getLossFunction(freqs7, ref7, "MSE_LOG_AFC").grad(theta * 1.02))
+
+    old = mixed._FORCE_MIN_LANES
+    mixed._FORCE_MIN_LANES = 8
+    try:
+        p1 = make()
+        y3 = np.asarray(p1.getFRFunction()(freqs3, theta))
+        np.testing.assert_allclose(y3, y3_ref, rtol=1e-9)
+        p2 = make(freq_chunk=3)   # chunk < floor -> raised to 8, padded
+        y7 = np.asarray(p2.getFRFunction()(freqs7, theta))
+        y7_ref = np.asarray(p0.getFRFunction()(freqs7, theta))
+        np.testing.assert_allclose(y7, y7_ref, rtol=1e-9)
+        g1 = np.asarray(
+            p2.getLossFunction(freqs7, ref7, "MSE_LOG_AFC").grad(theta * 1.02))
+        np.testing.assert_allclose(g1, g_ref, rtol=1e-6)
+    finally:
+        mixed._FORCE_MIN_LANES = old
+
+
 def test_direct_sweep_x32_refinement_matches_f64_oracle(plate_system):
     """The direct engine's f64-residual iterative refinement recovers
     f64-grade solutions from a complex64 LU — including exactly at a

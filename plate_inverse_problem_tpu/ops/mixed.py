@@ -198,7 +198,8 @@ def _cmul(a, b):
 
 def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
             anchor: bool = True, n_cycles: int = 1, basis_f32: bool = False,
-            r0=None, final_correct=None, final_correct_n: int = 1):
+            r0=None, final_correct=None, final_correct_n: int = 1,
+            A_final=None):
     """Flexible (right-preconditioned) GMRES on split-complex f64 pairs,
     restarted: up to ``n_cycles`` cycles of ``k_max`` iterations each.
 
@@ -299,10 +300,15 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
         # final defect correction through the exact (band-resolvent) part
         # of the preconditioner: the norm-based exit cannot see WHERE the
         # residual lives, and residual mass in near-resonant band
-        # directions is amplified by the modal Q into the solution.  The
-        # resolvent kills exactly those components of the TRUE residual
-        # (already in hand from the restart bookkeeping) in f64, for one
-        # O(n m) panel pass — no extra operator application.
+        # directions is amplified by the modal Q into the solution.
+        # ``A_final`` supplies a residual-GRADE apply (entrywise-combined
+        # operator values — see A_res_apply in mixed_sweep): the speed-
+        # grade fused apply's combine-last rounding is resonance-aligned
+        # and would floor the correction ~25x higher.  When given, the
+        # first pass recomputes the residual with it instead of reusing
+        # the restart bookkeeping's.
+        if A_final is not None:
+            r = bb - A_final(x)
         x = x + final_correct(r)
         # The Ritz pairs behind the resolvent carry an O(subspace-angle)
         # defect (K Z != M Z Lam exactly — Z spans the band basis, not the
@@ -311,8 +317,9 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
         # n=21k, where one pass floored the FRF at 1.6e-5 and a second
         # reached 1.6e-7).  Extra passes recompute the TRUE residual and
         # correct again — one exact operator application each.
+        Af = A_apply if A_final is None else A_final
         for _ in range(max(0, int(final_correct_n) - 1)):
-            r = bb - A_apply(x)
+            r = bb - Af(x)
             x = x + final_correct(r)
     return x
 
@@ -701,6 +708,27 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     if not ki_proportional:
         KiZw64 = Ki_mv(Zw64.T).T                       # (n, m) = K_im Zw
 
+    # Exact Galerkin projections for the resolvent START and the FINAL
+    # band corrections.  The TPU eigh's O(1e-7) ROTATION error makes the
+    # diagonal resolvent model of the projected pencil wrong by ~e within
+    # span(Z); a resonance amplifies that by the modal Q (~1/beta ~ 300x)
+    # straight into the solution, flooring band-tier FRF accuracy at
+    # ~e/beta ~ 2e-5 (measured at n=20916/32420; the CPU backend's LAPACK
+    # eigh has e ~ 1e-15 and shows no such floor).  The exactly-projected
+    # m x m pencil is computable with exact-f64 GEMMs, so the accuracy-
+    # critical band solves below refine the diagonal model against it:
+    # each pass contracts the m-solve error by ~e/beta, putting the
+    # start + 2 passes at ~(e/beta)^3 — below the f64 noise floor.  The
+    # Krylov PREconditioner keeps the cheap diagonal model (it only
+    # steers the subspace).
+    Kp64 = Zw64.T @ KZw64                              # (m, m) = Z^T K Z
+    Mp64 = Zw64.T @ MZ64                               # (m, m) ~ I
+    Kp64 = 0.5 * (Kp64 + Kp64.T)
+    Mp64 = 0.5 * (Mp64 + Mp64.T)
+    if not ki_proportional:
+        Kip64 = Zw64.T @ KiZw64                        # (m, m) = Z^T K_im Z
+        Kip64 = 0.5 * (Kip64 + Kip64.T)
+
     # ---- FGMRES shape knobs (tier-tuned) --------------------------------
     # n_refine is the TOTAL Krylov budget; it is spent as restarted cycles
     # of k_cycle iterations.  Small cycles keep the (B, k, 2, n) basis
@@ -828,14 +856,42 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             """
             sb = sign * beta64
 
+            dre_d = lam_w - om2
+            dim_d = sb * lam_w
+            den_d = dre_d * dre_d + dim_d * dim_d
+
+            def _rsolve_diag(q_re, q_im):
+                """Diagonal-resolvent model of the projected pencil."""
+                y_re = (q_re * dre_d + q_im * dim_d) / den_d
+                y_im = (q_im * dre_d - q_re * dim_d) / den_d
+                return y_re, y_im
+
+            def _proj_apply(y_re, y_im):
+                """Exact projected operator Z^T A Z on (m,) coeffs."""
+                Ky_re = Kp64 @ y_re
+                Ky_im = Kp64 @ y_im
+                My_re = Mp64 @ y_re
+                My_im = Mp64 @ y_im
+                if ki_proportional:
+                    return (Ky_re - sb * Ky_im - om2 * My_re,
+                            Ky_im + sb * Ky_re - om2 * My_im)
+                Kiy_re = Kip64 @ y_re
+                Kiy_im = Kip64 @ y_im
+                return (Ky_re - sign * Kiy_im - om2 * My_re,
+                        Ky_im + sign * Kiy_re - om2 * My_im)
+
             def band_coeffs_f64(r_re, r_im):
+                """Exact Galerkin solve of the projected system: diagonal
+                resolvent start + 2 refinement passes against the exact
+                m x m pencil (see the Kp64 build note above)."""
                 q_re = Zw64.T @ r_re
                 q_im = Zw64.T @ r_im
-                dre = lam_w - om2
-                dim = sb * lam_w
-                den = dre * dre + dim * dim
-                y_re = (q_re * dre + q_im * dim) / den
-                y_im = (q_im * dre - q_re * dim) / den
+                y_re, y_im = _rsolve_diag(q_re, q_im)
+                for _ in range(2):
+                    Ay_re, Ay_im = _proj_apply(y_re, y_im)
+                    d_re, d_im = _rsolve_diag(q_re - Ay_re, q_im - Ay_im)
+                    y_re = y_re + d_re
+                    y_im = y_im + d_im
                 return y_re, y_im
 
             def band_solve_f64(r_re, r_im):
@@ -871,6 +927,34 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 Ku, Mu, Kiu = KMI_mv(uu)
                 return jnp.stack([Ku[0] - sign * Kiu[1] - om2 * Mu[0],
                                   Ku[1] + sign * Kiu[0] - om2 * Mu[1]])
+
+            def A_res_apply(uu):
+                """Residual-grade exact apply: combine the flat operator
+                values ENTRYWISE per frequency, then one scatter pass.
+
+                The fused speed-grade route above computes K u and
+                om^2 M u as separate full sums and subtracts them LAST; at
+                a resonance those sums cancel (K u ~ om^2 M u), so each
+                sum's own rounding eps64 * Sum_k |K_jk u_k| survives the
+                subtraction.  Measured at n=20916 against an 80-bit host
+                oracle: 1.1e-11*||b|| residual noise for combine-last vs
+                8e-13 for this entrywise-combined order (A_jk =
+                K_jk - om^2 M_jk cancels at the ENTRY level, where both
+                operands are exact).  That noise is resonance-aligned
+                (it rides the huge resonant component of u) and the
+                resolvent re-amplifies it by kappa_modal ~ 1e6 — it WAS
+                the 2e-5 band-tier TPU FRF floor that no Krylov budget
+                could cross.  Used only for the true residuals feeding
+                the final band corrections: one gather-combine-scatter
+                per pass."""
+                are = Kr64 - om2 * Ms64
+                aim = sb * Kr64 if ki_proportional else sign * Ki64
+                g_re = uu[0][cols]
+                g_im = uu[1][cols]
+                contrib = jnp.stack([are * g_re - aim * g_im,
+                                     aim * g_re + are * g_im])
+                out = jnp.zeros((2, uu.shape[-1]), dtype=uu.dtype)
+                return out.at[:, rows].add(contrib)
 
             def band_stack(rr):
                 y_re, y_im = band_solve_f64(rr[0], rr[1])
@@ -935,7 +1019,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                             k_cycle, n_cycles=n_cycles,
                             basis_f32=basis_f32, r0=bbs - Ax0,
                             final_correct=band_stack,
-                            final_correct_n=band_correct_n)
+                            final_correct_n=band_correct_n,
+                            A_final=A_res_apply)
                 return (u[0], u[1])
 
             return slv

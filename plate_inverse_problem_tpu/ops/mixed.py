@@ -173,6 +173,11 @@ _DEBUG_TRACE = os.environ.get("PIP_MIXED_DEBUG", "") == "1"
 # backend so the padding path is exercised by the CPU test suite
 _FORCE_MIN_LANES: int | None = None
 
+# nnz segment length for the entrywise-combined residual apply (A_res_apply):
+# bounds the per-frequency-lane (lanes, nnz) HBM temps; module-level so the
+# CPU test suite can shrink it to exercise the scanned path on small meshes
+_RES_SEG = 1 << 17
+
 
 def _min_lanes() -> int:
     if _FORCE_MIN_LANES is not None:
@@ -946,15 +951,51 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 the 2e-5 band-tier TPU FRF floor that no Krylov budget
                 could cross.  Used only for the true residuals feeding
                 the final band corrections: one gather-combine-scatter
-                per pass."""
-                are = Kr64 - om2 * Ms64
-                aim = sb * Kr64 if ki_proportional else sign * Ki64
-                g_re = uu[0][cols]
-                g_im = uu[1][cols]
-                contrib = jnp.stack([are * g_re - aim * g_im,
-                                     aim * g_re + are * g_im])
-                out = jnp.zeros((2, uu.shape[-1]), dtype=uu.dtype)
-                return out.at[:, rows].add(contrib)
+                per pass.
+
+                The nnz axis is scanned in segments exactly like
+                ``_fused_mv``: ``are`` depends on the per-lane ``om2``, so
+                under a vmapped frequency chunk it is a (lanes, nnz)
+                tensor — at nnz=2e6 x 32 lanes that is several GB of HBM
+                temps after TPU tile padding (measured: the 82k-DOF sweep
+                and the 46k-DOF Jacobian both exceeded the 16 GB chip on
+                exactly these allocations).  The combine is entrywise, so
+                segmentation is exact; padded entries carry zero data and
+                scatter zeros to row 0."""
+                seg = _RES_SEG
+                nnz = rows.shape[0]
+                if nnz <= 2 * seg:
+                    are = Kr64 - om2 * Ms64
+                    aim = sb * Kr64 if ki_proportional else sign * Ki64
+                    g_re = uu[0][cols]
+                    g_im = uu[1][cols]
+                    contrib = jnp.stack([are * g_re - aim * g_im,
+                                         aim * g_re + are * g_im])
+                    out = jnp.zeros((2, uu.shape[-1]), dtype=uu.dtype)
+                    return out.at[:, rows].add(contrib)
+                k = -(-nnz // seg)
+                pad = k * seg - nnz
+
+                def _segs(v):
+                    return jnp.pad(v, (0, pad)).reshape(k, seg)
+
+                xs = (_segs(Kr64), _segs(Ms64),
+                      _segs(Kr64) if ki_proportional else _segs(Ki64),
+                      _segs(rows), _segs(cols))
+
+                def step(out, args):
+                    kd, md, id_, r, c = args
+                    are = kd - om2 * md
+                    aim = sb * id_ if ki_proportional else sign * id_
+                    g_re = uu[0][c]
+                    g_im = uu[1][c]
+                    contrib = jnp.stack([are * g_re - aim * g_im,
+                                         aim * g_re + are * g_im])
+                    return out.at[:, r].add(contrib), None
+
+                out0 = jnp.zeros((2, uu.shape[-1]), dtype=uu.dtype)
+                out, _ = jax.lax.scan(step, out0, xs)
+                return out
 
             def band_stack(rr):
                 y_re, y_im = band_solve_f64(rr[0], rr[1])

@@ -272,6 +272,47 @@ def test_min_lane_padding_matches_unpadded():
         mixed._FORCE_MIN_LANES = old
 
 
+def test_segmented_residual_apply_matches_unsegmented():
+    """The entrywise-combined residual apply (A_res_apply) scans the nnz
+    axis in segments above _RES_SEG so the per-lane (lanes, nnz) HBM temps
+    stay bounded at the 50k-100k DOF tiers.  The combine is entrywise —
+    only the scatter accumulation order changes — so shrinking the segment
+    far below the mesh's nnz must reproduce the one-pass FRF and gradients
+    to the solver's refinement floor."""
+    from plate_inverse_problem_tpu.ops import mixed
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def make():
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+        return pip.Problem(geom, mat, acc, engine="mixed")
+
+    freqs = np.linspace(60.0, 400.0, 5)
+    p0 = make()
+    theta = np.asarray(p0.parameters)
+    y_ref = np.asarray(p0.getFRFunction()(freqs, theta))
+    ref = p0.solveForward(freqs)
+    g_ref = np.asarray(
+        p0.getLossFunction(freqs, ref, "MSE_LOG_AFC").grad(theta * 1.02))
+
+    old = mixed._RES_SEG
+    mixed._RES_SEG = 1 << 10   # nnz ~ 24k at ny=1 -> ~12 segments
+    try:
+        p1 = make()
+        assert p1.op.pattern.nnz > 2 * mixed._RES_SEG
+        y1 = np.asarray(p1.getFRFunction()(freqs, theta))
+        np.testing.assert_allclose(y1, y_ref, rtol=1e-9)
+        g1 = np.asarray(
+            p1.getLossFunction(freqs, ref, "MSE_LOG_AFC").grad(theta * 1.02))
+        np.testing.assert_allclose(g1, g_ref, rtol=1e-9)
+    finally:
+        mixed._RES_SEG = old
+
+
 def test_direct_sweep_x32_refinement_matches_f64_oracle(plate_system):
     """The direct engine's f64-residual iterative refinement recovers
     f64-grade solutions from a complex64 LU — including exactly at a

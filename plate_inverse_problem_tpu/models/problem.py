@@ -1154,7 +1154,7 @@ class Problem:
                 "c0": jnp.asarray(op.interpolation_value_from_bc, jnp.float64),
             }
 
-            def core(freqs, params, od):
+            def _sweep(freqs, params, od, diagnostics=False):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
                 params = jnp.asarray(params).astype(jnp.float64)
                 Dre, Dim = transform(params, omegas[0])
@@ -1167,19 +1167,32 @@ class Problem:
                 om2 = (omegas**2)[:, None]
                 B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
                 B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
-                U_re, U_im = mixed_sweep(
+                return mixed_sweep(
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
                     n_refine=n_refine, refine_tol=self.refine_tol,
                     freq_chunk=freq_chunk,
                     ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
                     k_cycle=self.k_cycle, basis_f32=self.basis_f32,
+                    diagnostics=diagnostics,
                     **_mg_kwargs(od),
                 )
+
+            def _readout(U_re, U_im, od):
                 y_re = od["c0"] + U_re @ od["c"]
                 y_im = U_im @ od["c"]
                 return (y_re + 1j * y_im).astype(cdt)
 
+            def core(freqs, params, od):
+                U_re, U_im = _sweep(freqs, params, od)
+                return _readout(U_re, U_im, od)
+
+            def core_diag(freqs, params, od):
+                U_re, U_im, rn, rn_fin, rn0, tol = _sweep(
+                    freqs, params, od, diagnostics=True)
+                return _readout(U_re, U_im, od), rn, rn_fin, rn0, tol
+
+            core.diag = core_diag
             return core, opdata
 
         # ---- 3-field path --------------------------------------------------
@@ -1216,7 +1229,7 @@ class Problem:
             "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], jnp.float64),
         }
 
-        def core(freqs, params, od):
+        def _sweep3(freqs, params, od, diagnostics=False):
             omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
             params = jnp.asarray(params).astype(jnp.float64)
             (Are, Aim), (Bre, Bim), (Dre, Dim) = transform(params, omegas[0])
@@ -1229,16 +1242,18 @@ class Problem:
             om2 = (omegas**2)[:, None]
             B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
             B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
-            U_re, U_im = mixed_sweep(
+            return mixed_sweep(
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
                 n_refine=n_refine, refine_tol=self.refine_tol,
                 freq_chunk=freq_chunk,
                 ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
                 k_cycle=self.k_cycle, basis_f32=self.basis_f32,
+                diagnostics=diagnostics,
                 **_mg_kwargs(od),
             )
 
+        def _readout3(U_re, U_im, od):
             def mag2(rvec, r0):
                 yr = U_re @ rvec + r0
                 yi = U_im @ rvec
@@ -1249,6 +1264,16 @@ class Problem:
             w2 = mag2(od["rw"], od["r0"][2])
             return jnp.sqrt(ts * ts * (u2 + v2) + w2).astype(rdt)
 
+        def core(freqs, params, od):
+            U_re, U_im = _sweep3(freqs, params, od)
+            return _readout3(U_re, U_im, od)
+
+        def core_diag(freqs, params, od):
+            U_re, U_im, rn, rn_fin, rn0, tol = _sweep3(
+                freqs, params, od, diagnostics=True)
+            return _readout3(U_re, U_im, od), rn, rn_fin, rn0, tol
+
+        core.diag = core_diag
         return core, opdata
 
     def _transform_is_freq_dependent(self) -> bool:
@@ -1409,6 +1434,66 @@ class Problem:
                     "Recreate the Problem with f_max >= the sweep maximum.",
                     RuntimeWarning,
                 )
+
+    def diagnoseSweep(self, freqs, params: np.ndarray = None) -> dict:
+        """Per-frequency convergence signal of the mixed engine's sweep.
+
+        The FGMRES iteration caps bound any stagnation silently (the solve
+        returns its best iterate either way); this runs the identical solve
+        with its convergence bookkeeping exposed so unconverged frequencies
+        are DETECTABLE.  Returns a dict of numpy arrays over the sweep:
+
+        * ``fr`` — the FRF values (same as :meth:`solveForward`),
+        * ``residual_norm`` — the Krylov loop's TRUE f64 exit residual
+          norm (what the solve's own stopping test compared),
+        * ``final_residual_norm`` — the true residual of the returned
+          iterate AFTER the final band corrections, which deliberately
+          trade residual norm in benign directions for resonance-amplified
+          solution error (so this one can sit above the target on
+          perfectly converged solves — report it, don't gate on it),
+        * ``initial_residual_norm`` — the residual norm of the band-
+          resolvent start the iteration began from,
+        * ``target`` — the amplification-aware norm target the solve aimed
+          for,
+        * ``converged`` — the solve either reached its target or reduced
+          the post-band-start residual by >= 9 orders of magnitude.  The
+          target is amplification-tightened down to the f64 floor at
+          resonance lanes (deliberately unreachable — "residuals below
+          eps64*||b|| are still productive"), so target-only gating would
+          cry wolf on healthy solves; a healthy default-budget solve makes
+          11-13 orders of progress (measured), while the failure mode this
+          flag exists to catch — preconditioner breakdown / stagnation —
+          makes at most ~2.
+        """
+        if self._resolve_engine() != "mixed":
+            raise ValueError(
+                "diagnoseSweep applies to the iterative mixed engine; the "
+                f"resolved engine here is {self._resolve_engine()!r} "
+                "(modal/direct solves are direct factorizations — their "
+                "accuracy is not iteration-bounded).")
+        if params is None:
+            params = self.parameters
+        self._check_band(freqs)
+        core, od = self.getFRCore()
+        jitted = jax.jit(core.diag)
+        freqs = np.asarray(freqs)
+        params = jnp.asarray(params)
+        seg = self._call_segment() or len(freqs)
+        outs = []
+        for i in range(0, len(freqs), seg):
+            outs.append(jax.tree_util.tree_map(
+                np.asarray,
+                jitted(jnp.asarray(freqs[i:i + seg]), params, od)))
+        y, rn, rn_fin, rn0, tol = (np.concatenate([o[k] for o in outs])
+                                   for k in range(5))
+        return {
+            "fr": y,
+            "residual_norm": rn,
+            "final_residual_norm": rn_fin,
+            "initial_residual_norm": rn0,
+            "target": tol,
+            "converged": (rn <= tol * (1.0 + 1e-12)) | (rn <= 1e-9 * rn0),
+        }
 
     def solveForward(self, freqs: np.ndarray, params: np.ndarray = None) -> np.ndarray:
         """Forward FRF for a set of frequencies (Problem.py:611-639)."""

@@ -122,6 +122,14 @@ def flat_to_band_host(vals, layout: BandLayout) -> np.ndarray:
     return out.reshape(nb, b, 3 * b)
 
 
+# f64 band tensors above this size segment the block axis of the GEMM
+# (bytes); per-scan-step budget for the emulated-f64 dot's materialized
+# operand/product temps (bytes, with an 8x headroom for vmapped frequency
+# lanes band_mv cannot see).  Module-level so tests can shrink them.
+_F64_SEG_THRESHOLD = 256 << 20
+_F64_SEG_BUDGET = 1 << 30
+
+
 def band_mv(band, x, layout: BandLayout, precision=None):
     """y = A x for block-tridiagonal ``band`` (nb, b, 3b); x (..., n).
 
@@ -132,7 +140,14 @@ def band_mv(band, x, layout: BandLayout, precision=None):
     (distinct layouts made XLA hold one relaid-out copy each).  f64 inputs
     use XLA's emulated f64 GEMM (exact); f32 inputs run at native MXU
     speed (callers that only need preconditioner accuracy pass
-    ``precision`` to drop below the global 'highest' default)."""
+    ``precision`` to drop below the global 'highest' default).
+
+    Above ``_F64_SEG_THRESHOLD`` the f64 GEMM scans the block axis in
+    segments: XLA:TPU's emulated-f64 dot materializes operand/product
+    temps at the (lanes, nb, b, 3b) scale (measured 3.77 GB at n=82k x 8
+    frequency lanes — the scale-tier sweep OOM), and the scan bounds them
+    to one segment.  Exact either way: segmentation only splits the
+    block-row axis, never a contraction."""
     n, b, nb = layout.n, layout.b, layout.nb
     lead = x.shape[:-1]
     B = 1
@@ -145,6 +160,24 @@ def band_mv(band, x, layout: BandLayout, precision=None):
     xn = jnp.stack([xm[:, :-2, :], xm[:, 1:-1, :], xm[:, 2:, :]],
                    axis=-2)  # (B, nb, 3, b)
     xn = xn.reshape(B, nb, 3 * b)
+    if (band.dtype == jnp.float64
+            and band.size * 8 > _F64_SEG_THRESHOLD):
+        qs = max(1, _F64_SEG_BUDGET // (8 * B * b * 3 * b * 8))
+        k = -(-nb // qs)
+        padq = k * qs - nb
+        bandp = jnp.pad(band, ((0, padq), (0, 0), (0, 0))) \
+            .reshape(k, qs, b, 3 * b)
+        xnp = jnp.pad(xn, ((0, 0), (0, padq), (0, 0))) \
+            .reshape(B, k, qs, 3 * b).transpose(1, 0, 2, 3)
+
+        def step(_, args):
+            bq, xq = args
+            return None, jnp.einsum("qic,Bqc->Bqi", bq, xq,
+                                    precision=precision)
+
+        _, ys = jax.lax.scan(step, None, (bandp, xnp))   # (k, B, qs, b)
+        y = ys.transpose(1, 0, 2, 3).reshape(B, k * qs * b)[:, : nb * b]
+        return y.reshape(lead + (nb * b,))[..., :n]
     y = jnp.einsum("qic,Bqc->Bqi", band, xn, precision=precision)
     return y.reshape(lead + (nb * b,))[..., :n]
 

@@ -204,7 +204,7 @@ def _cmul(a, b):
 def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
             anchor: bool = True, n_cycles: int = 1, basis_f32: bool = False,
             r0=None, final_correct=None, final_correct_n: int = 1,
-            A_final=None):
+            A_final=None, return_info: bool = False):
     """Flexible (right-preconditioned) GMRES on split-complex f64 pairs,
     restarted: up to ``n_cycles`` cycles of ``k_max`` iterations each.
 
@@ -326,6 +326,23 @@ def _pgmres(A_apply, P_apply, bb, x0, tol_rel, tol_abs2, k_max: int,
         for _ in range(max(0, int(final_correct_n) - 1)):
             r = bb - Af(x)
             x = x + final_correct(r)
+    if return_info:
+        # convergence signal for callers (the iteration caps bound any
+        # stagnation silently otherwise).  TWO residuals, because they
+        # answer different questions:
+        # * rn (sqrt rn2) — the Krylov loop's own exit residual (TRUE f64
+        #   whenever final corrections are configured, which forces
+        #   need_true): rn <= tol means the iteration CONVERGED rather
+        #   than hit its caps;
+        # * rn_fin — the true residual of the RETURNED iterate, after the
+        #   final band corrections, which deliberately trade residual
+        #   norm in benign directions for resonance-amplified solution
+        #   error (one extra residual-grade apply to measure).
+        Af = A_apply if A_final is None else A_final
+        r_fin = bb - Af(x)
+        rn_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
+        rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+        return x, jnp.sqrt(rn2), rn_fin, rn0, jnp.sqrt(tol2)
     return x
 
 
@@ -504,7 +521,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
                 ki_proportional: bool = False, K_ref32=None,
                 k_cycle: int | None = None, basis_f32: bool | None = None,
-                band=None, band_correct_n: int | None = None):
+                band=None, band_correct_n: int | None = None,
+                diagnostics: bool = False):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -558,19 +576,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     # nearly halves the dominant per-iteration cost.
     Kr64 = jax.lax.stop_gradient(K_re).astype(jnp.float64)
 
-    def Kt_mv(x):
-        return _spmv64(K_re, rows, cols, x, n)
-
     def K_mv(x):
         return _spmv64(Kr64, rows, cols, x, n)
 
     def M_mv(x):
         return _spmv64(Ms64, rows, cols, x, n)
 
-    def Mt_mv(x):
-        return _spmv64(M_flat, rows, cols, x, n)
-
-    def _fused_mv(stacked_data, uu, seg: int = 1 << 17):
+    def _fused_mv(stacked_data, uu, seg: int | None = None):
         """(S, nnz) operator stack applied to (..., n): output (S, ..., n).
 
         The nnz axis is scanned in segments: the scatter's cost is the
@@ -579,6 +591,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         the program's HBM footprint — never materializes beyond one
         segment.  Padding rows with 0 and data with 0.0 adds zeros to row
         0: harmless."""
+        if seg is None:
+            seg = _RES_SEG
         S, nnz = stacked_data.shape
         if nnz <= 2 * seg:
             contrib = stacked_data[:, None, :] * uu[..., cols][None]
@@ -600,7 +614,47 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         out, _ = jax.lax.scan(step, out0, (dp, rp, cp))
         return out
 
+    def _fused_mv_t(stacked_data, uu, seg: int | None = None):
+        """Traced counterpart of ``_fused_mv`` for the AD-defining matvec.
+
+        Same segmented fused apply, but with an UNROLLED Python loop
+        instead of ``lax.scan``: custom_linear_solve's AD machinery
+        partial-evaluates the matvec with the operator data as a traced
+        closure variable, and a scan over that data breaks its
+        linearization (jax ValAccum leak — measured, .probes; plain
+        unrolled scatter-adds linearize and transpose exactly, verified
+        equal to the unsegmented apply).  The serial ``out`` dependency
+        chain keeps each segment's (S, lanes*tangents, seg) contribution
+        tensor short-lived, which is what bounds the r+J HBM footprint at
+        the 46k-100k tiers."""
+        if seg is None:
+            seg = _RES_SEG
+        S, nnz = stacked_data.shape
+        if nnz <= 2 * seg:
+            contrib = stacked_data[:, None, :] * uu[..., cols][None]
+            out = jnp.zeros((S,) + uu.shape[:-1] + (n,), contrib.dtype)
+            return out.at[..., rows].add(contrib)
+        k = -(-nnz // seg)
+        pad = k * seg - nnz
+        dp = jnp.pad(stacked_data, ((0, 0), (0, pad))).reshape(S, k, seg)
+        rp = jnp.pad(rows, (0, pad)).reshape(k, seg)
+        cp = jnp.pad(cols, (0, pad)).reshape(k, seg)
+        out = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked_data.dtype)
+        for i in range(k):
+            contrib = dp[:, i][:, None, :] * uu[..., cp[i]][None]
+            out = out.at[..., rp[i]].add(contrib)
+        return out
+
     KM64 = jnp.stack([Kr64, Ms64])
+    # TRACED operator stack for the AD-defining matvec (custom_linear_solve
+    # ``mv``): ALWAYS the segmented flat scatter, even when the hot loop
+    # runs the band GEMM layout.  ``mv`` only feeds the AD rules (tangent
+    # right-hand sides, transpose), so its cost is one fused pass per
+    # tangent — while routing it through the band layout would give every
+    # jacfwd tangent its own (nb, b, 3b) band tensor AND broadcast it over
+    # the frequency lanes (measured 4.8 GB at n=46k x 8 lanes x 3 params:
+    # the r+J OOM at the scale tiers).
+    KMt64 = jnp.stack([K_re.astype(jnp.float64), M_flat.astype(jnp.float64)])
 
     def KM_mv(uu):
         return _fused_mv(KM64, uu)
@@ -608,9 +662,9 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
     if not ki_proportional:
         Ki64 = jax.lax.stop_gradient(K_im).astype(jnp.float64)
         KMI64 = jnp.stack([Kr64, Ms64, Ki64])
-
-        def Kit_mv(x):
-            return _spmv64(K_im, rows, cols, x, n)
+        KMIt64 = jnp.stack([K_re.astype(jnp.float64),
+                            M_flat.astype(jnp.float64),
+                            K_im.astype(jnp.float64)])
 
         def Ki_mv(x):
             return _spmv64(Ki64, rows, cols, x, n)
@@ -636,13 +690,10 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
 
         Kband = _to_band(Kr64)
         Mband = _to_band(Ms64)
-        # traced copies for the AD-defining matvec: identical values
-        # (stop_gradient is identity at runtime, XLA CSEs the scatters)
-        Kband_t = _to_band(K_re)
-        Mband_t = _to_band(M_flat)
-
-        def Kt_mv(x):
-            return _band_mv(Kband_t, x, _lay)
+        # NOTE: no traced band copies — the AD-defining matvec (``mv``)
+        # stays on the segmented flat scatter in every layout (see the
+        # KMt64 build note above): band tensors for jacfwd tangents cost
+        # (n_params, nb, b, 3b) HBM each and broadcast over lanes.
 
         def K_mv(x):
             return _band_mv(Kband, x, _lay)
@@ -650,19 +701,12 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         def M_mv(x):
             return _band_mv(Mband, x, _lay)
 
-        def Mt_mv(x):
-            return _band_mv(Mband_t, x, _lay)
-
         def KM_mv(uu):
             return jnp.stack([_band_mv(Kband, uu, _lay),
                               _band_mv(Mband, uu, _lay)])
 
         if not ki_proportional:
             Kiband = _to_band(Ki64)
-            Kiband_t = _to_band(K_im)
-
-            def Kit_mv(x):
-                return _band_mv(Kiband_t, x, _lay)
 
             def Ki_mv(x):
                 return _band_mv(Kiband, x, _lay)
@@ -850,8 +894,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         om64 = om.astype(jnp.float64)
         om2 = om64 * om64
 
-        def make_solver(sign):
+        def make_solver(sign, diag: bool = False):
             """Solver for A (sign=+1) or conj(A) (sign=-1).
+
+            ``diag``: also return the solve's convergence signal
+            (final true residual norm, initial residual norm, target) —
+            used by the diagnostics path, which bypasses
+            custom_linear_solve (no AD through diagnostics).
 
             In the split-complex real representation, the transpose of
             'multiply by symmetric complex A' is 'multiply by conj(A)'
@@ -1056,18 +1105,25 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 bb_re, bb_im = bb
                 bbs = jnp.stack([bb_re, bb_im])
                 x0, Ax0 = band_start(bbs)
-                u = _pgmres(A_apply, P_use, bbs, x0, tol_eff, 0.0,
-                            k_cycle, n_cycles=n_cycles,
-                            basis_f32=basis_f32, r0=bbs - Ax0,
-                            final_correct=band_stack,
-                            final_correct_n=band_correct_n,
-                            A_final=A_res_apply)
-                return (u[0], u[1])
+                out = _pgmres(A_apply, P_use, bbs, x0, tol_eff, 0.0,
+                              k_cycle, n_cycles=n_cycles,
+                              basis_f32=basis_f32, r0=bbs - Ax0,
+                              final_correct=band_stack,
+                              final_correct_n=band_correct_n,
+                              A_final=A_res_apply, return_info=diag)
+                if diag:
+                    u, rn, rn_fin, rn0, tol = out
+                    return u[0], u[1], rn, rn_fin, rn0, tol
+                return (out[0], out[1])
 
             return slv
 
         def mv(x):
             """Split-complex A x (f64): x is a (re, im) pair pytree.
+
+            TRACED (the AD-defining matvec of custom_linear_solve): one
+            fused segmented scatter pass over the traced operator stack —
+            tangents ride the (S, nnz) flat data, never a band tensor.
 
             With ``ki_proportional`` the imaginary stiffness matvecs are
             scalar multiples of the real ones (K_i = beta K_r); the traced
@@ -1076,15 +1132,20 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             and the projection's differential recovers dbeta exactly."""
             x_re, x_im = x
             xx = jnp.stack([x_re, x_im])
-            Kx = Kt_mv(xx)
-            Mx = Mt_mv(xx)
             if ki_proportional:
+                Kx, Mx = _fused_mv_t(KMt64, xx)
                 return (Kx[0] - beta * Kx[1] - om2 * Mx[0],
                         Kx[1] + beta * Kx[0] - om2 * Mx[1])
-            Kix = Kit_mv(xx)
+            Kx, Mx, Kix = _fused_mv_t(KMIt64, xx)
             return (Kx[0] - Kix[1] - om2 * Mx[0],
                     Kx[1] + Kix[0] - om2 * Mx[1])
 
+        if diagnostics:
+            # diagnostics path: the same solve, plus its convergence
+            # signal; no custom_linear_solve wrapper (and no AD) —
+            # callers use it to DETECT unconverged solves, not to train
+            # through them
+            return make_solver(1.0, diag=True)(None, (b_re_in, b_im_in))
         return jax.lax.custom_linear_solve(
             mv, (b_re_in, b_im_in),
             solve=make_solver(1.0), transpose_solve=make_solver(-1.0),
@@ -1115,8 +1176,8 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         om = jnp.concatenate([om, jnp.broadcast_to(om[-1:], (r,))])
         br = jnp.concatenate([br, jnp.broadcast_to(br[-1:], (r,) + br.shape[1:])])
         bi = jnp.concatenate([bi, jnp.broadcast_to(bi[-1:], (r,) + bi.shape[1:])])
-        U_re, U_im = jax.vmap(one)(om, br, bi)
-        return U_re[:b], U_im[:b]
+        out = jax.vmap(one)(om, br, bi)
+        return jax.tree_util.tree_map(lambda a: a[:b], out)
 
     if freq_chunk is None or freq_chunk >= F:
         return vmap_padded(om64, Br64, Bi64)
@@ -1152,6 +1213,6 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             [Brs, jnp.broadcast_to(Brs[-1:], (pad,) + Brs.shape[1:])])
         Bis = jnp.concatenate(
             [Bis, jnp.broadcast_to(Bis[-1:], (pad,) + Bis.shape[1:])])
-    U_re, U_im = jax.lax.map(lambda a: one(*a), (oms, Brs, Bis),
-                             batch_size=chunk)
-    return U_re[:F][inv_order], U_im[:F][inv_order]
+    out = jax.lax.map(lambda a: one(*a), (oms, Brs, Bis),
+                      batch_size=chunk)
+    return jax.tree_util.tree_map(lambda a: a[:F][inv_order], out)

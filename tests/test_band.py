@@ -47,6 +47,51 @@ def test_band_mv_matches_scatter_spmv(small_problem):
     np.testing.assert_allclose(band_h, np.asarray(band), rtol=0, atol=0)
 
 
+def test_band_mv_f64_segmented_matches_one_gemm(small_problem):
+    """Above _F64_SEG_THRESHOLD the f64 band GEMM scans the block axis in
+    segments (the emulated-f64 dot's temps OOM'd the 82k-DOF sweep); the
+    segmented and single-GEMM applies must agree exactly — segmentation
+    splits block rows, never a contraction.  Also under vmap (the
+    frequency-lane shape the solver actually runs) and jvp."""
+    from plate_inverse_problem_tpu.ops import band as band_mod
+
+    geom, mat, acc = small_problem
+    p = pip.Problem(geom, mat, acc)
+    rows = np.asarray(p.op.pattern.rows)
+    cols = np.asarray(p.op.pattern.cols)
+    n = p.n_free
+    layout = build_band_layout(rows, cols, n)
+
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.standard_normal(rows.size))
+    X = jnp.asarray(rng.standard_normal((4, 2, n)))
+    band = flat_to_band(vals, layout, jnp.asarray(layout.lin))
+    assert band.dtype == jnp.float64
+
+    y_ref = band_mv(band, X, layout)
+
+    old = band_mod._F64_SEG_THRESHOLD, band_mod._F64_SEG_BUDGET
+    # force: threshold below this band tensor, budget so qs < nb
+    band_mod._F64_SEG_THRESHOLD = 0
+    band_mod._F64_SEG_BUDGET = 8 * X.size // n * layout.b * 3 * layout.b * 8
+    try:
+        y_seg = band_mv(band, X, layout)
+        np.testing.assert_array_equal(np.asarray(y_seg), np.asarray(y_ref))
+
+        # vmapped lanes + jvp (the solver's actual shapes)
+        f = lambda v, x: band_mv(
+            flat_to_band(v, layout, jnp.asarray(layout.lin)), x, layout)
+        y_v, dy_v = jax.jvp(f, (vals, X), (vals * 0.5, X * 0.0))
+        band_mod._F64_SEG_THRESHOLD, band_mod._F64_SEG_BUDGET = old
+        y_r, dy_r = jax.jvp(f, (vals, X), (vals * 0.5, X * 0.0))
+        np.testing.assert_allclose(np.asarray(y_v), np.asarray(y_r),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(dy_v), np.asarray(dy_r),
+                                   rtol=0, atol=0)
+    finally:
+        band_mod._F64_SEG_THRESHOLD, band_mod._F64_SEG_BUDGET = old
+
+
 def test_permute_vector_roundtrip():
     rng = np.random.default_rng(0)
     n = 37

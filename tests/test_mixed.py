@@ -313,6 +313,46 @@ def test_segmented_residual_apply_matches_unsegmented():
         mixed._RES_SEG = old
 
 
+def test_diagnose_sweep_reports_convergence():
+    """diagnoseSweep exposes the per-frequency convergence signal of the
+    otherwise-silent FGMRES iteration caps: the default budget converges
+    every frequency (and the returned FRF equals solveForward's); a
+    deliberately starved budget with an unreachable target is flagged."""
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+
+    def make(**kw):
+        geom = pip.Geometry(
+            "symm", acc,
+            pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+        )
+        return pip.Problem(geom, mat, acc, engine="mixed", **kw)
+
+    freqs = np.linspace(60.0, 400.0, 5)
+    p = make()
+    d = p.diagnoseSweep(freqs)
+    y = np.asarray(p.solveForward(freqs))
+    np.testing.assert_allclose(d["fr"], y, rtol=1e-12)
+    assert d["converged"].all(), (d["residual_norm"], d["target"])
+    assert (d["residual_norm"] <= d["initial_residual_norm"]).all()
+
+    # starved budget + unreachable target: the caps bound the iteration and
+    # the diagnostic must SAY so rather than return silently
+    p_bad = make(n_refine=1, refine_tol=1e-14)
+    d_bad = p_bad.diagnoseSweep(freqs)
+    assert not d_bad["converged"].all(), (
+        d_bad["residual_norm"], d_bad["target"])
+
+    # direct factorization engines have no iteration to diagnose
+    geom = pip.Geometry(
+        "symm", acc,
+        pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1,
+    )
+    p_modal = pip.Problem(geom, mat, acc, engine="modal")
+    with pytest.raises(ValueError):
+        p_modal.diagnoseSweep(freqs)
+
+
 def test_direct_sweep_x32_refinement_matches_f64_oracle(plate_system):
     """The direct engine's f64-residual iterative refinement recovers
     f64-grade solutions from a complex64 LU — including exactly at a

@@ -1418,7 +1418,11 @@ class Problem:
         n = self.n_free
         if n < (8_000 if jac else 30_000):
             return None
-        return 64
+        # the r+J call does (1 + n_params) sweeps of work per frequency;
+        # at ~100k DOF a 64-frequency Jacobian call brushes the runtime's
+        # kill window (measured 143 s / 512 pts at n=32k -> ~2.3 s per
+        # 8-freq chunk scales to ~40-80 s per 64-freq call at 100k)
+        return 32 if (jac and n >= 60_000) else 64
 
     # ------------------------------------------------------------------
 

@@ -31,8 +31,12 @@ point).  GN = Gauss-Newton residual + 3-parameter Jacobian over the full
 problem work.  "first" columns include XLA compile on a cold-to-this-shape
 persistent cache; "steady" is the amortized per-call time.
 
-| n_free | nnz | ctor (s) | sweep first (s) | sweep steady (s) | solves/s/chip | worst rel err | GN first (s) | GN steady (s/iter) |
-|---|---|---|---|---|---|---|---|---|
+The "compile" columns are the derived first-minus-steady cost of the
+cold-to-this-shape XLA compile (the per-tier compile budget, VERDICT r3
+task 5).
+
+| n_free | nnz | ctor (s) | sweep first (s) | sweep steady (s) | sweep compile (s) | solves/s/chip | worst rel err | GN first (s) | GN steady (s/iter) | GN compile (s) |
+|---|---|---|---|---|---|---|---|---|---|---|
 """
 
 lines = []
@@ -40,14 +44,22 @@ if not rows:
     lines.append("| *(chip rows pending: the TPU endpoint has been down "
                  "since 2026-08-17 ~21:00; .probes/scale_tier.py is queued "
                  "to fill this table the moment it returns)* | | | | | | | | |")
+def _compile_col(r, first, steady):
+    if first in r and steady in r:
+        return round(r[first] - r[steady], 1)
+    return "-"
+
+
 for r in rows:
     lines.append(
-        "| {n_free}{tag} | {nnz} | {ctor_s} | {sf} | {ss} | {sps} | {err:.1e} | {gf} | {gs} |".format(
+        "| {n_free}{tag} | {nnz} | {ctor_s} | {sf} | {ss} | {sc} | {sps} | {err:.1e} | {gf} | {gs} | {gc} |".format(
             tag=" (pallas band)" if r.get("pallas_band") else "",
             n_free=r["n_free"], nnz=r["nnz"], ctor_s=r.get("ctor_s", "-"),
             sf=r.get("sweep_first_s", "-"), ss=r.get("sweep_steady_s", "-"),
+            sc=_compile_col(r, "sweep_first_s", "sweep_steady_s"),
             sps=r.get("solves_per_s", "-"), err=r.get("worst_rel_err", float("nan")),
-            gf=r.get("gn_first_s", "-"), gs=r.get("gn_steady_s", "-")))
+            gf=r.get("gn_first_s", "-"), gs=r.get("gn_steady_s", "-"),
+            gc=_compile_col(r, "gn_first_s", "gn_steady_s")))
 
 spmv = [r for r in rows if "spmv_scatter_ms" in r]
 tail = ("\n## Accuracy: the runtime arithmetic floor at band tiers (measured)\n\n"
@@ -79,7 +91,10 @@ tail = ("\n## Accuracy: the runtime arithmetic floor at band tiers (measured)\n\
         "| 103 680 | 1.0-1.5e-6 (the f64 noise floor: one refinement step\n"
         "moves splu's own readout by 5.6e-7 there) |\n\n"
         "The BASELINE 1e-6 gate applies to the example configs and is met\n"
-        "at the bench tier (5.9e-8 incl. the resonance peak, BENCH_r03).\n")
+        "at the bench tier (judge-measured 2.43e-7 incl. the resonance\n"
+        "peak at 3453.6 solves/s, VERDICT.md round 3; builder-side runs of\n"
+        "the same code measured 4.2e-8..5.9e-8 at the worst point — the\n"
+        "spread is run-to-run sensitivity of the scanned-peak error).\n")
 if spmv:
     tail += ("\n## Exact f64 operator application: scatter vs band-GEMM\n\n"
              "One application of the exact split-f64 operator to 16 vectors\n"

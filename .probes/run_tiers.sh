@@ -9,7 +9,7 @@ for R in "$@"; do
     SPMV=0
     [ "$R" = "8" ] && SPMV=1
     echo "==== tier REFINE=$R (SPMV=$SPMV) ===="
-    REFINE=$R SPMV=$SPMV GN=1 timeout 3000 python .probes/scale_tier.py \
-        2>&1 | grep -v -e WARN -e "^E08"
+    REFINE=$R SPMV=$SPMV GN=1 timeout 4500 python -u .probes/scale_tier.py \
+        2>&1 | grep --line-buffered -v -e WARN -e "^E08"
     echo "==== tier REFINE=$R exit=$? ===="
 done

@@ -99,8 +99,22 @@ if want("e"):
     run("e_rj512_c64_seg512", rf.value_and_jac, th2)
 
 if want("f"):
-    rf = p.getResidualFunction(freqs, ref, kind='log_afc')
-    run("f_rj512_default", rf.value_and_jac, th2)
+    rf = p.getResidualFunction(freqs, ref, kind='log_afc', jac_mode='fwd')
+    run("f_rj512_fwd", rf.value_and_jac, th2)
+
+if want("g"):
+    rf = p.getResidualFunction(freqs, ref, kind='log_afc')  # auto -> adjoint
+    out["g_mode"] = rf.jac_mode
+    rg, Jg = run("g_rj512_adjoint", rf.value_and_jac, th2)
+    # cross-check the adjoint Jacobian against the fwd one ON CHIP
+    if want("f") or os.environ.get("XCHECK", "") == "1":
+        rf_f = p.getResidualFunction(freqs, ref, kind='log_afc',
+                                     jac_mode='fwd')
+        rfwd, Jfwd = rf_f.value_and_jac(th2)
+        dJ = float(jnp.max(jnp.abs(Jg - Jfwd) /
+                           jnp.maximum(jnp.abs(Jfwd), 1e-30)))
+        out["adjoint_vs_fwd_relJ"] = dJ
+        print(f'adjoint vs fwd max rel J diff: {dJ:.2e}', flush=True)
 
 with open(os.path.join(os.path.dirname(__file__),
                        "gn_tune_results.jsonl"), "a") as fh:

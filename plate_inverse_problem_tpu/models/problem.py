@@ -197,14 +197,28 @@ class ResidualFunction:
 
     kinds: 'log_afc' (r_i = log|fr_i| - log|ref_i|; GN on it is the
     Gauss-Newton counterpart of MSE_LOG_AFC), 'afc' (|fr| - |ref|),
-    'complex' (stacked re/im of fr - ref).  The Jacobian is computed in
-    forward mode (jacfwd): p parameters cost p JVPs through the sweep,
-    which the implicit-diff solve rules make exact and cheap.
+    'complex' (stacked re/im of fr - ref).
+
+    Jacobian modes (``jac_mode``):
+
+    * 'adjoint' — the scalar-readout adjoint Jacobian: each residual row
+      is a per-frequency SCALAR, so J costs exactly 2 batched solves
+      (primal + one adjoint solve A^T y_i = dr_i/dU_i) plus p solve-free
+      jacfwd passes through the explicit residual map
+      psi_i(theta) = y_i . (A_i(theta) U_i - b_i(theta)), J = -dpsi/dtheta
+      — INDEPENDENT of the parameter count.  Measured at n=21k on chip:
+      the jacfwd mode costs ~7 sweep-equivalents per iteration at p=3
+      (.probes/gn_tune.py), the adjoint mode ~2.5.  Requires the engine
+      to expose sweep_u/sweep_adj/apply_res/readout_ui hooks (the mixed
+      engine does) and a per-frequency scalar kind ('log_afc'/'afc').
+    * 'fwd' — fused value-and-jacfwd: p implicit-diff JVP solves ride
+      alongside the primal.  Works with every engine and kind.
+    * 'auto' (default) — 'adjoint' when available, else 'fwd'.
     """
 
     def __init__(self, core, opdata, frequencies, reference_fr, kind="log_afc",
                  scaling_params=None, freq_chunk: int | None = None,
-                 call_seg: int | None = None):
+                 call_seg: int | None = None, jac_mode: str = "auto"):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
         self._ref = jnp.asarray(reference_fr)
@@ -268,7 +282,63 @@ class ResidualFunction:
                 "freq_chunk is only supported for per-frequency scalar "
                 "residual kinds ('log_afc', 'afc')."
             )
-        self._rj = jax.jit(rj if freq_chunk is None else rj_chunked)
+
+        adjoint_ok = (
+            kind in ("log_afc", "afc")
+            and all(hasattr(core, a) for a in
+                    ("sweep_u", "sweep_adj", "apply_res", "readout_ui"))
+        )
+        if jac_mode == "auto":
+            jac_mode = "adjoint" if adjoint_ok else "fwd"
+        elif jac_mode == "adjoint" and not adjoint_ok:
+            raise ValueError(
+                "jac_mode='adjoint' needs a per-frequency scalar residual "
+                "kind ('log_afc'/'afc') and an engine exposing the adjoint "
+                "hooks (mixed engine cores do)."
+            )
+        elif jac_mode not in ("adjoint", "fwd"):
+            raise ValueError(f"Unknown jac_mode {jac_mode!r}.")
+        self.jac_mode = jac_mode
+
+        def rj_adjoint(params, od, freqs, ref):
+            # 2 solves total: primal sweep + ONE batched adjoint solve.
+            # U and Y are constants of the Jacobian formula (their theta-
+            # derivatives are what the adjoint identity eliminates), so
+            # both sweeps run outside any differentiation; the only
+            # differentiated graph is the solve-free residual map.
+            th = params * scaling
+            U_re, U_im = core.sweep_u(freqs, th, od)
+            U_re = jax.lax.stop_gradient(U_re)
+            U_im = jax.lax.stop_gradient(U_im)
+
+            def r_of_U(Ur, Ui):
+                return resid(core.readout_ui(Ur, Ui, od), ref)
+
+            # r_of_U is per-frequency diagonal (row i depends only on
+            # U[i]), so ONE pullback at the all-ones cotangent returns
+            # every row gradient G_i = dr_i/dU_i at once.
+            r, pb = jax.vjp(r_of_U, U_re, U_im)
+            G_re, G_im = pb(jnp.ones_like(r))
+            Y_re, Y_im = core.sweep_adj(
+                freqs, th, od,
+                G_re.astype(jnp.float64), G_im.astype(jnp.float64))
+            Y_re = jax.lax.stop_gradient(Y_re)
+            Y_im = jax.lax.stop_gradient(Y_im)
+
+            def psi(p):
+                R_re, R_im = core.apply_res(freqs, p * scaling, od,
+                                            U_re, U_im)
+                return jnp.sum(Y_re * R_re + Y_im * R_im, axis=-1)
+
+            # dr_i = -y_i . d(A_i U_i - b_i): p jacfwd tangents through
+            # scatter passes and coefficient chains, zero solves
+            J = -jax.jacfwd(psi)(params)
+            return r, J
+
+        if jac_mode == "adjoint":
+            self._rj = jax.jit(rj_adjoint)
+        else:
+            self._rj = jax.jit(rj if freq_chunk is None else rj_chunked)
 
         # host-level call segmentation (see Problem._call_segment): the
         # residual rows are per-frequency, so r and J concatenate across
@@ -840,7 +910,8 @@ class Problem:
         preconditioner are built on the host from the equilibrated
         reference-theta operator."""
         from ..ops.mixed import (
-            band_basis_host, mixed_sweep, static_preconditioner_host,
+            band_basis_host, mixed_apply, mixed_sweep,
+            static_preconditioner_host,
         )
 
         prec = self.precision
@@ -887,6 +958,43 @@ class Problem:
                        "static": self._mg_static},
                 "K_ref64": od["Kref64"],
             }
+
+        def _attach_adjoint_hooks(core, assemble, sweep, readout):
+            """Expose the pieces the adjoint-Jacobian needs on the core.
+
+            ResidualFunction (jac_mode='adjoint') builds the Gauss-Newton
+            Jacobian of a per-frequency SCALAR residual from 2 batched
+            solves — primal + one adjoint (A^T y = dr/dU) — plus p
+            solve-free jacfwd passes through the explicit residual map
+            A(theta) U - b(theta), instead of (1 + p) implicit-diff JVP
+            solves.  This is the same adjoint structure the reference's
+            spsolve transpose rule implements (Sparse.py:211-222), lifted
+            from gradients to full scalar-readout Jacobians.
+            """
+            def sweep_adj(freqs, params, od, G_re, G_im):
+                K_re, K_im, _, _, omegas = assemble(freqs, params, od)
+                return mixed_sweep(
+                    K_re, K_im, od["MIn"], G_re, G_im, omegas,
+                    od["rows"], od["cols"], n, od["W64"], od["invK32"],
+                    n_refine=n_refine, refine_tol=self.refine_tol,
+                    freq_chunk=freq_chunk,
+                    ki_proportional=ki_prop, K_ref32=od.get("Kref32"),
+                    k_cycle=self.k_cycle, basis_f32=self.basis_f32,
+                    adjoint=True,
+                    **_mg_kwargs(od),
+                )
+
+            def apply_res(freqs, params, od, U_re, U_im):
+                K_re, K_im, B_re, B_im, omegas = assemble(freqs, params, od)
+                AU_re, AU_im = mixed_apply(
+                    K_re, K_im, od["MIn"], omegas, U_re, U_im,
+                    od["rows"], od["cols"], n, ki_proportional=ki_prop)
+                return AU_re - B_re, AU_im - B_im
+
+            core.sweep_u = sweep
+            core.sweep_adj = sweep_adj
+            core.apply_res = apply_res
+            core.readout_ui = readout
 
         # RCM block-tridiagonal layout (ops/band.py): relabel the free DOFs
         # once, here, so the whole engine — pattern indices, band basis,
@@ -1154,7 +1262,7 @@ class Problem:
                 "c0": jnp.asarray(op.interpolation_value_from_bc, jnp.float64),
             }
 
-            def _sweep(freqs, params, od, diagnostics=False):
+            def _assemble(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
                 params = jnp.asarray(params).astype(jnp.float64)
                 Dre, Dim = transform(params, omegas[0])
@@ -1167,6 +1275,10 @@ class Problem:
                 om2 = (omegas**2)[:, None]
                 B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
                 B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
+                return K_re, K_im, B_re, B_im, omegas
+
+            def _sweep(freqs, params, od, diagnostics=False):
+                K_re, K_im, B_re, B_im, omegas = _assemble(freqs, params, od)
                 return mixed_sweep(
                     K_re, K_im, od["MIn"], B_re, B_im, omegas,
                     od["rows"], od["cols"], n, od["W64"], od["invK32"],
@@ -1193,6 +1305,7 @@ class Problem:
                 return _readout(U_re, U_im, od), rn, rn_fin, rn0, tol
 
             core.diag = core_diag
+            _attach_adjoint_hooks(core, _assemble, _sweep, _readout)
             return core, opdata
 
         # ---- 3-field path --------------------------------------------------
@@ -1229,7 +1342,7 @@ class Problem:
             "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], jnp.float64),
         }
 
-        def _sweep3(freqs, params, od, diagnostics=False):
+        def _assemble3(freqs, params, od):
             omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
             params = jnp.asarray(params).astype(jnp.float64)
             (Are, Aim), (Bre, Bim), (Dre, Dim) = transform(params, omegas[0])
@@ -1242,6 +1355,10 @@ class Problem:
             om2 = (omegas**2)[:, None]
             B_re = bK_re[None, :] - om2 * od["fIn"][None, :]
             B_im = jnp.broadcast_to(bK_im[None, :], B_re.shape)
+            return K_re, K_im, B_re, B_im, omegas
+
+        def _sweep3(freqs, params, od, diagnostics=False):
+            K_re, K_im, B_re, B_im, omegas = _assemble3(freqs, params, od)
             return mixed_sweep(
                 K_re, K_im, od["MIn"], B_re, B_im, omegas,
                 od["rows"], od["cols"], n, od["W64"], od["invK32"],
@@ -1274,6 +1391,7 @@ class Problem:
             return _readout3(U_re, U_im, od), rn, rn_fin, rn0, tol
 
         core.diag = core_diag
+        _attach_adjoint_hooks(core, _assemble3, _sweep3, _readout3)
         return core, opdata
 
     def _transform_is_freq_dependent(self) -> bool:
@@ -1551,23 +1669,33 @@ class Problem:
         kind: str = "log_afc",
         scaling_params: jax.Array = None,
         freq_chunk: int | None = None,
+        jac_mode: str = "auto",
     ) -> "ResidualFunction":
         """Vector-residual factory for Gauss-Newton
         (``optimize.optimize_gauss_newton``).  ``freq_chunk`` bounds Jacobian
-        memory for large sweeps x many parameters."""
+        memory for large sweeps x many parameters (jacfwd mode only; the
+        default adjoint mode is bounded by the engine's own sweep chunking).
+        ``jac_mode``: 'adjoint' | 'fwd' | 'auto' — see ResidualFunction."""
         assert frequencies.shape[0] == reference_fr.shape[0]
         self._check_band(frequencies)
         core, opdata = self.getFRCore()
+        adjoint_selected = (
+            jac_mode in ("auto", "adjoint")
+            and kind in ("log_afc", "afc")
+            and hasattr(core, "sweep_u")
+        )
         if (freq_chunk is None and kind != "complex"
+                and not adjoint_selected
                 and self._resolve_engine() == "mixed"):
-            # value_and_jac runs (1 + n_params) solve lanes per frequency
-            # (primal + one implicit-diff JVP per parameter); cap the live
-            # Jacobian chunk to the same memory budget as the plain sweep
+            # jacfwd value_and_jac runs (1 + n_params) solve lanes per
+            # frequency (primal + one implicit-diff JVP per parameter);
+            # cap the live Jacobian chunk to the sweep's memory budget
             freq_chunk = self._auto_freq_chunk(
                 lanes=1 + len(np.asarray(self.parameters)))
         return ResidualFunction(
             core, opdata, frequencies, reference_fr, kind, scaling_params,
             freq_chunk=freq_chunk, call_seg=self._call_segment(jac=True),
+            jac_mode=jac_mode,
         )
 
     # ------------------------------------------------------------------

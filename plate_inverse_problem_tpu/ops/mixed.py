@@ -516,13 +516,77 @@ def _pgmres_cycle_body(A_apply, P_apply, bb, x_in, r0, beta0, V, Z, R, g,
 # the mixed sweep
 # ---------------------------------------------------------------------------
 
+def _fused_apply_flat(stacked_data, uu, rows, cols, n: int,
+                      seg: int | None = None):
+    """(S, nnz) operator stack applied to (..., n): output (S, ..., n).
+
+    Module-level counterpart of ``mixed_sweep``'s ``_fused_mv_t``: the nnz
+    axis is walked in UNROLLED segments (a ``lax.scan`` over traced operator
+    data breaks custom-AD linearization — see the _fused_mv_t note), each
+    segment's (S, ..., seg) contribution tensor kept short-lived by the
+    serial ``out`` chain.  Exact for padded entries (zero data scatters
+    zeros to row 0)."""
+    if seg is None:
+        seg = _RES_SEG
+    S, nnz = stacked_data.shape
+    bshape = (1,) * (uu.ndim - 1)  # broadcast shape over uu's batch dims
+    if nnz <= 2 * seg:
+        contrib = stacked_data.reshape((S,) + bshape + (nnz,)) \
+            * uu[..., cols][None]
+        out = jnp.zeros((S,) + uu.shape[:-1] + (n,), contrib.dtype)
+        return out.at[..., rows].add(contrib)
+    k = -(-nnz // seg)
+    pad = k * seg - nnz
+    dp = jnp.pad(stacked_data, ((0, 0), (0, pad))).reshape(S, k, seg)
+    rp = np.pad(np.asarray(rows), (0, pad)).reshape(k, seg)
+    cp = np.pad(np.asarray(cols), (0, pad)).reshape(k, seg)
+    out = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked_data.dtype)
+    for i in range(k):
+        contrib = dp[:, i].reshape((S,) + bshape + (seg,)) \
+            * uu[..., cp[i]][None]
+        out = out.at[..., rp[i]].add(contrib)
+    return out
+
+
+def mixed_apply(K_re, K_im, M_flat, omegas, U_re, U_im, rows, cols, n: int,
+                ki_proportional: bool = False, seg: int | None = None):
+    """Batched split-complex operator application A(theta) @ U: (F, n) pairs.
+
+    EXACTLY the AD-defining matvec of ``mixed_sweep`` (its ``mv`` closure —
+    including the traced ``beta`` projection under ``ki_proportional``),
+    batched over the frequency axis and exposed standalone.  The
+    adjoint-Jacobian path (models/problem.ResidualFunction, jac_mode
+    'adjoint') differentiates theta -> A(theta) U - b(theta) at FIXED U
+    with ``jacfwd``: p tangents cost p fused scatter passes and ZERO extra
+    solves, which is what makes the Gauss-Newton Jacobian 2 solves per
+    frequency instead of (1 + n_params).
+
+    Returns (AU_re, AU_im), each (F, n) f64.
+    """
+    om2 = (omegas.astype(jnp.float64) ** 2)[:, None]
+    Kr = K_re.astype(jnp.float64)
+    Ms = M_flat.astype(jnp.float64)
+    uu = jnp.stack([U_re.astype(jnp.float64), U_im.astype(jnp.float64)])
+    if ki_proportional:
+        Ki = K_im.astype(jnp.float64)
+        beta = jnp.vdot(Kr, Ki) / jnp.vdot(Kr, Kr)
+        Kx, Mx = _fused_apply_flat(jnp.stack([Kr, Ms]), uu, rows, cols, n, seg)
+        return (Kx[0] - beta * Kx[1] - om2 * Mx[0],
+                Kx[1] + beta * Kx[0] - om2 * Mx[1])
+    Ki = K_im.astype(jnp.float64)
+    Kx, Mx, Kix = _fused_apply_flat(
+        jnp.stack([Kr, Ms, Ki]), uu, rows, cols, n, seg)
+    return (Kx[0] - Kix[1] - om2 * Mx[0],
+            Kx[1] + Kix[0] - om2 * Mx[1])
+
+
 def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 W64, invK32, n_refine: int = 16, refine_tol: float = 3e-7,
                 mg=None, K_ref64=None, freq_chunk: int | None = None,
                 ki_proportional: bool = False, K_ref32=None,
                 k_cycle: int | None = None, basis_f32: bool | None = None,
                 band=None, band_correct_n: int | None = None,
-                diagnostics: bool = False):
+                diagnostics: bool = False, adjoint: bool = False):
     """f64-grade frequency sweep on f32 hardware — split-complex interface.
 
     All operator/rhs data arrives as f64 (complex quantities as re/im pairs —
@@ -1140,6 +1204,14 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             return (Kx[0] - Kix[1] - om2 * Mx[0],
                     Kx[1] + Kix[0] - om2 * Mx[1])
 
+        if adjoint:
+            # adjoint solve A^T y = g (split-complex: conj(A), the same
+            # solver the transpose rule uses).  No custom_linear_solve
+            # wrapper: the adjoint-Jacobian path (ResidualFunction
+            # jac_mode 'adjoint') treats y as a CONSTANT and
+            # differentiates an explicit residual map (mixed_apply)
+            # instead of this solve.
+            return make_solver(-1.0)(None, (b_re_in, b_im_in))
         if diagnostics:
             # diagnostics path: the same solve, plus its convergence
             # signal; no custom_linear_solve wrapper (and no AD) —

@@ -139,7 +139,10 @@ def test_sharded_gn_step_matches_host_normal_equations(problem):
     step = sharded_gn_step(problem, mesh, kind="log_afc")
     rsq, th1 = step(freqs, ref, th0)
 
-    rf = problem.getResidualFunction(freqs, ref, kind="log_afc")
+    # pin jac_mode='fwd': the sharded step's Jacobian is the jacfwd one,
+    # and the 1e-9 update comparison below needs the identical formulation
+    rf = problem.getResidualFunction(freqs, ref, kind="log_afc",
+                                     jac_mode="fwd")
     r, J = rf.value_and_jac(th0)
     r = np.asarray(r); J = np.asarray(J)
     assert abs(rsq - float(r @ r)) <= 1e-9 * max(1.0, float(r @ r))

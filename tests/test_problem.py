@@ -301,7 +301,7 @@ def test_residual_value_and_jac_matches_jacfwd(problem_unsymm):
     ref = np.asarray(p.solveForward(freqs))
     th = jnp.asarray(np.asarray(p.parameters) * jnp.asarray([1.02, 1.01, 1.1]))
     for kind in ("log_afc", "afc", "complex"):
-        rf = p.getResidualFunction(freqs, ref, kind=kind)
+        rf = p.getResidualFunction(freqs, ref, kind=kind, jac_mode="fwd")
         r, J = rf.value_and_jac(th)
         r_ref = rf(th)
         J_ref = jax.jacfwd(rf)(th)
@@ -309,6 +309,91 @@ def test_residual_value_and_jac_matches_jacfwd(problem_unsymm):
                                    rtol=0, atol=0)
         np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
                                    rtol=1e-12, atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def problem_unsymm_mixed(small_setup):
+    acc, geom, mat = small_setup
+    return pip.Problem(geom, mat, acc, engine="mixed")
+
+
+@pytest.fixture(scope="module")
+def problem_symm_mixed(small_setup):
+    acc, geom, mat = small_setup
+    return pip.Problem(geom, mat, None, engine="mixed")
+
+
+def test_residual_adjoint_jacobian_matches_fwd(problem_unsymm_mixed,
+                                               problem_symm_mixed):
+    """The adjoint Jacobian (2 solves: primal + one batched adjoint, plus
+    p solve-free passes through the explicit residual map) must agree with
+    the implicit-diff jacfwd Jacobian on both assembly paths and both
+    scalar residual kinds.  The two formulations share no AD code path —
+    agreement is a strong end-to-end check of the adjoint identity
+    J = -y^T (dA u - db) against (1+p) independent JVP solves."""
+    for p in (problem_unsymm_mixed, problem_symm_mixed):
+        freqs = np.linspace(40, 300, 9)
+        ref = np.asarray(p.solveForward(freqs))
+        th = jnp.asarray(np.asarray(p.parameters)
+                         * jnp.asarray([1.05, 1.02, 1.2]))
+        for kind in ("log_afc", "afc"):
+            rf_a = p.getResidualFunction(freqs, ref, kind=kind,
+                                         jac_mode="adjoint")
+            rf_f = p.getResidualFunction(freqs, ref, kind=kind,
+                                         jac_mode="fwd")
+            assert rf_a.jac_mode == "adjoint" and rf_f.jac_mode == "fwd"
+            ra, Ja = rf_a.value_and_jac(th)
+            rc, Jf = rf_f.value_and_jac(th)
+            np.testing.assert_allclose(np.asarray(ra), np.asarray(rc),
+                                       rtol=1e-12, atol=1e-14)
+            Jf = np.asarray(Jf)
+            np.testing.assert_allclose(
+                np.asarray(Ja), Jf, rtol=1e-6,
+                atol=1e-8 * float(np.abs(Jf).max()), err_msg=kind)
+
+
+def test_residual_jac_mode_resolution(problem_unsymm, problem_unsymm_mixed):
+    """'auto' resolves to adjoint on mixed-engine cores for scalar kinds,
+    to fwd for the 'complex' kind and for engines without the hooks
+    (the CPU default modal engine)."""
+    freqs = np.linspace(40, 300, 8)
+    ref = np.asarray(problem_unsymm_mixed.solveForward(freqs))
+    assert problem_unsymm_mixed.getResidualFunction(
+        freqs, ref).jac_mode == "adjoint"
+    assert problem_unsymm_mixed.getResidualFunction(
+        freqs, ref * (1 + 0j), kind="complex").jac_mode == "fwd"
+    assert problem_unsymm.getResidualFunction(
+        freqs, np.asarray(problem_unsymm.solveForward(freqs)),
+    ).jac_mode == "fwd"
+    with pytest.raises(ValueError):
+        problem_unsymm_mixed.getResidualFunction(
+            freqs, ref * (1 + 0j), kind="complex", jac_mode="adjoint")
+
+
+def test_residual_adjoint_jacobian_sol_5params(small_setup):
+    """5-parameter SOL material through the adjoint Jacobian — the case
+    the adjoint formulation exists for (2 solves instead of 6)."""
+    acc, geom, mat_iso = small_setup
+    mat = pip.get_material(1550.0, "sol", angles=(0.0,),
+                           E1=120e9, E2=8.5e9, G12=4.5e9, nu12=0.30,
+                           beta=0.006)
+    p = pip.Problem(geom, mat, acc, engine="mixed")
+    freqs = np.linspace(40, 300, 8)
+    th = np.asarray(p.parameters)
+    ref = np.asarray(p.solveForward(freqs, th))
+    th2 = jnp.asarray(th) * jnp.asarray([1.1, 0.95, 1.05, 1.02, 1.3])
+    rf_a = p.getResidualFunction(freqs, ref, jac_mode="adjoint",
+                                 scaling_params=jnp.asarray(th))
+    rf_f = p.getResidualFunction(freqs, ref, jac_mode="fwd",
+                                 scaling_params=jnp.asarray(th))
+    sc = th2 / jnp.asarray(th)
+    ra, Ja = rf_a.value_and_jac(sc)
+    rc, Jf = rf_f.value_and_jac(sc)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rc),
+                               rtol=1e-12, atol=1e-14)
+    Jf = np.asarray(Jf)
+    np.testing.assert_allclose(np.asarray(Ja), Jf, rtol=1e-6,
+                               atol=1e-8 * float(np.abs(Jf).max()))
 
 
 def test_residual_chunking_matches_unchunked(problem_unsymm):

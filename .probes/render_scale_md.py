@@ -15,6 +15,11 @@ if os.path.exists(SRC):
             line = line.strip()
             if line:
                 rows.append(json.loads(line))
+# latest measurement wins per (n_free, pallas_band) configuration —
+# re-runs after solver changes (e.g. the adjoint-Jacobian default of
+# round 4) supersede earlier rows; jsonl keeps the full history
+rows = list({(r["n_free"], bool(r.get("pallas_band"))): r
+             for r in rows}.values())
 rows.sort(key=lambda r: r["n_free"])
 
 hdr = """# SCALE — measured scale-tier numbers (TPU v5e, one chip)
@@ -28,8 +33,12 @@ accuracy is the worst relative readout error vs a host f64 `splu` oracle at
 4 frequencies including the |FRF| peak (the hardest, resonance-amplified
 point).  GN = Gauss-Newton residual + 3-parameter Jacobian over the full
 512-point sweep (`getResidualFunction.value_and_jac`), the unit of inverse-
-problem work.  "first" columns include XLA compile on a cold-to-this-shape
-persistent cache; "steady" is the amortized per-call time.
+problem work; rows marked `adjoint` use the round-4 adjoint-Jacobian
+default (2 solves per frequency independent of the parameter count —
+models/problem.ResidualFunction), unmarked rows the older jacfwd
+(1 + n_params solves).  "first" columns include XLA compile on a
+cold-to-this-shape persistent cache; "steady" is the amortized per-call
+time.
 
 The "compile" columns are the derived first-minus-steady cost of the
 cold-to-this-shape XLA compile (the per-tier compile budget, VERDICT r3
@@ -58,7 +67,10 @@ for r in rows:
             sf=r.get("sweep_first_s", "-"), ss=r.get("sweep_steady_s", "-"),
             sc=_compile_col(r, "sweep_first_s", "sweep_steady_s"),
             sps=r.get("solves_per_s", "-"), err=r.get("worst_rel_err", float("nan")),
-            gf=r.get("gn_first_s", "-"), gs=r.get("gn_steady_s", "-"),
+            gf=r.get("gn_first_s", "-"),
+            gs="{} ({})".format(r["gn_steady_s"], r["jac_mode"])
+            if "jac_mode" in r and "gn_steady_s" in r
+            else r.get("gn_steady_s", "-"),
             gc=_compile_col(r, "gn_first_s", "gn_steady_s")))
 
 spmv = [r for r in rows if "spmv_scatter_ms" in r]

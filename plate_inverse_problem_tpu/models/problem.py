@@ -1520,27 +1520,32 @@ class Problem:
         return int(np.clip(
             2 ** np.floor(np.log2(max(2.0e9 / per_lane, 8.0))), 8, 64))
 
-    def _call_segment(self, jac: bool = False) -> int | None:
+    def _call_segment(self, jac: bool = False,
+                      adjoint: bool = False) -> int | None:
         """Max frequencies per device call (None = unsegmented).
 
         Big-DOF sweeps must be split across device executions: the axon
         TPU runtime kills single executions beyond roughly a minute, and
-        frequency points are embarrassingly independent anyway.  A
+        frequency points are embarrassingly independent anyway.  A jacfwd
         residual+Jacobian call does ~(1 + n_params) sweeps of work
         (forward + one JVP per parameter), so gradient/Jacobian paths
         (``jac=True``) segment from a ~4x smaller DOF count (measured:
         the n=21k r+J at 512 points exceeds the runtime's kill window
-        while the forward sweep alone takes 12.6 s)."""
+        while the forward sweep alone takes 12.6 s).  The ADJOINT
+        Jacobian (``adjoint=True``) does ~2.6 sweeps of work per
+        frequency regardless of the parameter count, so its segments
+        stay at the sweep size instead of shrinking at 60k DOF."""
         if jax.default_backend() == "cpu":
             return None
         n = self.n_free
         if n < (8_000 if jac else 30_000):
             return None
-        # the r+J call does (1 + n_params) sweeps of work per frequency;
-        # at ~100k DOF a 64-frequency Jacobian call brushes the runtime's
-        # kill window (measured 143 s / 512 pts at n=32k -> ~2.3 s per
-        # 8-freq chunk scales to ~40-80 s per 64-freq call at 100k)
-        return 32 if (jac and n >= 60_000) else 64
+        # the jacfwd r+J call does (1 + n_params) sweeps of work per
+        # frequency; at ~100k DOF a 64-frequency Jacobian call brushes
+        # the runtime's kill window (measured 143 s / 512 pts at n=32k ->
+        # ~2.3 s per 8-freq chunk scales to ~40-80 s per 64-freq call at
+        # 100k)
+        return 32 if (jac and not adjoint and n >= 60_000) else 64
 
     # ------------------------------------------------------------------
 
@@ -1694,7 +1699,8 @@ class Problem:
                 lanes=1 + len(np.asarray(self.parameters)))
         return ResidualFunction(
             core, opdata, frequencies, reference_fr, kind, scaling_params,
-            freq_chunk=freq_chunk, call_seg=self._call_segment(jac=True),
+            freq_chunk=freq_chunk,
+            call_seg=self._call_segment(jac=True, adjoint=adjoint_selected),
             jac_mode=jac_mode,
         )
 

@@ -538,8 +538,10 @@ def _fused_apply_flat(stacked_data, uu, rows, cols, n: int,
     k = -(-nnz // seg)
     pad = k * seg - nnz
     dp = jnp.pad(stacked_data, ((0, 0), (0, pad))).reshape(S, k, seg)
-    rp = np.pad(np.asarray(rows), (0, pad)).reshape(k, seg)
-    cp = np.pad(np.asarray(cols), (0, pad)).reshape(k, seg)
+    # rows/cols stay traced: index arrays lowered as constants are fatal
+    # to the TPU AOT compiler (see Problem.getFRCore)
+    rp = jnp.pad(rows, (0, pad)).reshape(k, seg)
+    cp = jnp.pad(cols, (0, pad)).reshape(k, seg)
     out = jnp.zeros((S,) + uu.shape[:-1] + (n,), stacked_data.dtype)
     for i in range(k):
         contrib = dp[:, i].reshape((S,) + bshape + (seg,)) \

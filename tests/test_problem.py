@@ -352,6 +352,28 @@ def test_residual_adjoint_jacobian_matches_fwd(problem_unsymm_mixed,
                 atol=1e-8 * float(np.abs(Jf).max()), err_msg=kind)
 
 
+def test_residual_adjoint_segmented_apply(problem_unsymm_mixed, monkeypatch):
+    """Force the unrolled nnz segmentation of _fused_apply_flat (the >262k-
+    nnz scale-tier path, where rows/cols must stay traced — constant index
+    sets stall the TPU AOT compiler) and check the adjoint Jacobian is
+    unchanged."""
+    from plate_inverse_problem_tpu.ops import mixed as _m
+    p = problem_unsymm_mixed
+    freqs = np.linspace(40, 300, 9)
+    ref = np.asarray(p.solveForward(freqs))
+    th = jnp.asarray(np.asarray(p.parameters) * jnp.asarray([1.05, 1.02, 1.2]))
+    rf_f = p.getResidualFunction(freqs, ref, jac_mode="fwd")
+    _, Jf = rf_f.value_and_jac(th)
+    monkeypatch.setattr(_m, "_RES_SEG", 64)
+    # fresh ResidualFunction: _RES_SEG is read at trace time inside the
+    # new rj_adjoint jit (the memoized core itself is unchanged)
+    rf_a = p.getResidualFunction(freqs, ref, jac_mode="adjoint")
+    _, Ja = rf_a.value_and_jac(th)
+    Jf = np.asarray(Jf)
+    np.testing.assert_allclose(np.asarray(Ja), Jf, rtol=1e-6,
+                               atol=1e-8 * float(np.abs(Jf).max()))
+
+
 def test_residual_jac_mode_resolution(problem_unsymm, problem_unsymm_mixed):
     """'auto' resolves to adjoint on mixed-engine cores for scalar kinds,
     to fwd for the 'complex' kind and for engines without the hooks

@@ -178,17 +178,24 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
 
 
 def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
-                    damping: float = 0.0):
+                    damping: float = 0.0, jac_mode: str = "auto"):
     """One Gauss-Newton iteration over the device mesh — the multi-chip
     version of ``ResidualFunction.value_and_jac`` + normal equations.
 
-    The residual rows are per-frequency, so both r and the forward-mode
-    Jacobian J (one jvp lane per parameter, primal shared — the fused
-    recipe of models/problem.py) shard over the ``freq`` axis with zero
-    cross-chip traffic; the only collectives are the (p, p) / (p,)
-    contractions J^T J and J^T r, which XLA reduces over ICI from the
-    sharding annotations.  The tiny damped normal solve runs on the host
-    in f64 (TPU has no 64-bit factorization; p is 3-10).
+    The residual rows are per-frequency, so both r and the Jacobian J
+    shard over the ``freq`` axis with zero cross-chip traffic; the only
+    collectives are the (p, p) / (p,) contractions J^T J and J^T r, which
+    XLA reduces over ICI from the sharding annotations.  The tiny damped
+    normal solve runs on the host in f64 (TPU has no 64-bit
+    factorization; p is 3-10).
+
+    ``jac_mode`` mirrors ``ResidualFunction``: 'adjoint' (2 solves per
+    frequency — primal + one batched adjoint — plus p solve-free passes,
+    independent of the parameter count; needs the mixed engine's core
+    hooks), 'fwd' (fused value-and-jacfwd, 1+p solves), or 'auto'
+    (adjoint when available).  Padding rows mask exactly in both modes:
+    masked residual rows give zero adjoint cotangents, hence zero
+    adjoint solutions and zero Jacobian rows.
 
     Returns ``step(freqs, ref_fr, params, damping=None) -> (rsq,
     new_params)`` taking *unpadded* host arrays; padding rows are masked to
@@ -207,21 +214,35 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     _damping = damping
     core, opdata = problem.getFRCore()
     nf_axis = mesh.shape["freq"]
-    seg_per_chip = problem._call_segment(jac=True)
+    if kind not in ("log_afc", "afc"):
+        raise ValueError(f"unsupported sharded-GN residual kind {kind!r}")
+
+    adjoint_ok = all(hasattr(core, a) for a in
+                     ("sweep_u", "sweep_adj", "apply_res", "readout_ui"))
+    if jac_mode == "auto":
+        jac_mode = "adjoint" if adjoint_ok else "fwd"
+    elif jac_mode == "adjoint" and not adjoint_ok:
+        raise ValueError("jac_mode='adjoint' needs a core exposing the "
+                         "adjoint hooks (mixed-engine cores do).")
+    elif jac_mode not in ("adjoint", "fwd"):
+        raise ValueError(f"Unknown jac_mode {jac_mode!r}.")
+
+    seg_per_chip = problem._call_segment(jac=True,
+                                         adjoint=jac_mode == "adjoint")
     call_budget = None if seg_per_chip is None else seg_per_chip * nf_axis
 
-    def resid(params, freqs, ref, n_true, od):
-        fr = core(freqs, params, od)
+    def _resid_of_fr(fr, ref, n_true):
         if kind == "log_afc":
             r = jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))
-        elif kind == "afc":
-            r = jnp.abs(fr) - jnp.abs(ref)
         else:
-            raise ValueError(f"unsupported sharded-GN residual kind {kind!r}")
+            r = jnp.abs(fr) - jnp.abs(ref)
         live = jnp.arange(r.shape[0]) < n_true
         return jnp.where(live, r, 0.0)
 
-    def ingredients(freqs, ref, n_true, params, od):
+    def resid(params, freqs, ref, n_true, od):
+        return _resid_of_fr(core(freqs, params, od), ref, n_true)
+
+    def ingredients_fwd(freqs, ref, n_true, params, od):
         f = lambda th: resid(th, freqs, ref, n_true, od)
         basis = jnp.eye(params.shape[0], dtype=params.dtype)
         r, Jrows = jax.vmap(
@@ -230,6 +251,36 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
         J = jnp.moveaxis(Jrows, 0, -1)       # (F, p), sharded over freq
         # freq-axis contractions: XLA inserts the psum over the mesh
         return jnp.sum(r * r), J.T @ J, J.T @ r
+
+    def ingredients_adjoint(freqs, ref, n_true, params, od):
+        # the adjoint-Jacobian recipe of ResidualFunction, sharded: every
+        # per-frequency quantity (U, G, Y, the psi rows) lives on its
+        # frequency's chip; masked rows have zero cotangents -> zero
+        # adjoint solutions -> zero J rows, so padding masks exactly
+        U_re, U_im = core.sweep_u(freqs, params, od)
+        U_re = jax.lax.stop_gradient(U_re)
+        U_im = jax.lax.stop_gradient(U_im)
+
+        def r_of_U(Ur, Ui):
+            return _resid_of_fr(core.readout_ui(Ur, Ui, od), ref, n_true)
+
+        r, pb = jax.vjp(r_of_U, U_re, U_im)
+        G_re, G_im = pb(jnp.ones_like(r))
+        Y_re, Y_im = core.sweep_adj(
+            freqs, params, od,
+            G_re.astype(jnp.float64), G_im.astype(jnp.float64))
+        Y_re = jax.lax.stop_gradient(Y_re)
+        Y_im = jax.lax.stop_gradient(Y_im)
+
+        def psi(p):
+            R_re, R_im = core.apply_res(freqs, p, od, U_re, U_im)
+            return jnp.sum(Y_re * R_re + Y_im * R_im, axis=-1)
+
+        J = -jax.jacfwd(psi)(params)         # (F, p), sharded over freq
+        return jnp.sum(r * r), J.T @ J, J.T @ r
+
+    ingredients = (ingredients_adjoint if jac_mode == "adjoint"
+                   else ingredients_fwd)
 
     repl = NamedSharding(mesh, P())
     fshard = NamedSharding(mesh, P("freq"))
@@ -292,4 +343,5 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
                 As, -np.asarray(Jtr, np.float64)[live])
         return float(rsq), params + jnp.asarray(dx, params.dtype)
 
+    step.jac_mode = jac_mode
     return step

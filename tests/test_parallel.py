@@ -167,9 +167,38 @@ def test_sharded_gn_step_segmented_matches_unsegmented(problem, monkeypatch):
 
     rsq_u, th_u = sharded_gn_step(problem, mesh)(freqs, ref, th0)
 
-    monkeypatch.setattr(type(problem), "_call_segment",
-                        lambda self, jac=False: 1)  # budget = 1 * n_freq_axis
+    monkeypatch.setattr(
+        type(problem), "_call_segment",
+        lambda self, jac=False, adjoint=False: 1)  # budget = 1 * n_freq_axis
     rsq_s, th_s = sharded_gn_step(problem, mesh)(freqs, ref, th0)
 
     assert abs(rsq_s - rsq_u) <= 1e-9 * max(1.0, rsq_u)
     np.testing.assert_allclose(np.asarray(th_s), np.asarray(th_u), rtol=1e-9)
+
+
+def test_sharded_gn_step_adjoint_matches_fwd():
+    """The adjoint-Jacobian sharded GN step (2 solves/freq) must produce
+    the same normal-equation ingredients and update as the jacfwd step,
+    including exact masking of the padded frequency rows."""
+    from plate_inverse_problem_tpu.parallel import sharded_gn_step
+
+    acc = pip.Accelerometer("AP1030")
+    geom = pip.Geometry(
+        "symm", acc, pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None), ny=1
+    )
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=0.003)
+    p = pip.Problem(geom, mat, acc, engine="mixed")
+
+    mesh = make_mesh()
+    freqs = np.linspace(40, 600, 13)  # pads to 16 over 8 devices
+    ref = np.asarray(p.solveForward(freqs))
+    th0 = jnp.asarray(np.asarray(p.parameters) * [1.02, 0.99, 1.05])
+
+    step_a = sharded_gn_step(p, mesh)             # auto -> adjoint
+    step_f = sharded_gn_step(p, mesh, jac_mode="fwd")
+    assert step_a.jac_mode == "adjoint" and step_f.jac_mode == "fwd"
+    rsq_a, th_a = step_a(freqs, ref, th0)
+    rsq_f, th_f = step_f(freqs, ref, th0)
+    assert abs(rsq_a - rsq_f) <= 1e-9 * max(1.0, rsq_f)
+    np.testing.assert_allclose(np.asarray(th_a), np.asarray(th_f),
+                               rtol=1e-5, atol=1e-12)

@@ -147,16 +147,20 @@ if DO_GN:
     resfn = p.getResidualFunction(freqs, ref, kind='log_afc')
     rec["jac_mode"] = resfn.jac_mode
     th2 = th * jnp.asarray([1.02, 1.01, 1.1])
-    t0 = time.perf_counter()
-    r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
-    t1 = time.perf_counter()
-    r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
-    t2 = time.perf_counter()
-    rec["gn_first_s"] = round(t1 - t0, 1)
-    rec["gn_steady_s"] = round(t2 - t1, 2)
-    print(f'GN r+J ({F} pts, 3 params, {resfn.jac_mode}): '
-          f'first={rec["gn_first_s"]}s '
-          f'steady={rec["gn_steady_s"]}s/iter', flush=True)
+    try:
+        t0 = time.perf_counter()
+        r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
+        t1 = time.perf_counter()
+        r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
+        t2 = time.perf_counter()
+        rec["gn_first_s"] = round(t1 - t0, 1)
+        rec["gn_steady_s"] = round(t2 - t1, 2)
+        print(f'GN r+J ({F} pts, 3 params, {resfn.jac_mode}): '
+              f'first={rec["gn_first_s"]}s '
+              f'steady={rec["gn_steady_s"]}s/iter', flush=True)
+    except Exception as e:  # record the sweep row even when GN fails
+        rec["gn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"GN FAILED: {rec['gn_error']}", flush=True)
 
 with open(os.path.join(os.path.dirname(__file__),
                        "scale_results.jsonl"), "a") as fh:

@@ -54,6 +54,12 @@ from .accelerometer import Accelerometer, AccelerometerParams
 from .geometry import Geometry, GeometryParams
 from .materials import Material, get_material
 
+# HBM budget (bytes) for one fused-apply contribution tensor of the
+# adjoint-Jacobian residual map — sets its frequency chunk (see
+# _attach_adjoint_hooks.apply_res); module-level so tests can shrink it
+# to exercise the chunked path on small meshes
+_APPLY_BUDGET = 100e6
+
 
 class LossFunction:
     """Scalar loss with pre-jitted derivative oracles.
@@ -985,10 +991,48 @@ class Problem:
                 )
 
             def apply_res(freqs, params, od, U_re, U_im):
+                from ..ops import mixed as _mixed
                 K_re, K_im, B_re, B_im, omegas = assemble(freqs, params, od)
-                AU_re, AU_im = mixed_apply(
-                    K_re, K_im, od["MIn"], omegas, U_re, U_im,
-                    od["rows"], od["cols"], n, ki_proportional=ki_prop)
+                # Chunk the frequency axis of the fused apply: its
+                # (S, 2, C, seg) contribution tensors are tiled by XLA
+                # with the frequency axis minor (padded to 128) and
+                # several stay live under jacfwd remat — the unchunked
+                # 64-freq apply at nnz=1.1e6 OOMed a 16 GB chip (46k-tier
+                # GN, round 4).  ~100 MB per tensor keeps the whole
+                # jacfwd wave under a few GB; assembly stays outside the
+                # scan (theta tangents flow through the closed-over
+                # K_re/K_im — plain jvp-of-map linearizes exactly).
+                seg = min(int(od["rows"].shape[0]), _mixed._RES_SEG)
+                S = 2 if ki_prop else 3
+                C = max(8, int(_APPLY_BUDGET // (S * 2 * seg * 8)))
+                C = 1 << (C.bit_length() - 1)
+                F = int(omegas.shape[0])
+                if C < F:
+                    k = -(-F // C)
+                    pad = k * C - F
+
+                    def _chunks(v):
+                        if pad:
+                            v = jnp.concatenate(
+                                [v, jnp.broadcast_to(
+                                    v[-1:], (pad,) + v.shape[1:])])
+                        return v.reshape((k, C) + v.shape[1:])
+
+                    def one(args):
+                        om_c, Urc, Uic = args
+                        return mixed_apply(
+                            K_re, K_im, od["MIn"], om_c, Urc, Uic,
+                            od["rows"], od["cols"], n,
+                            ki_proportional=ki_prop)
+
+                    AU_re, AU_im = jax.lax.map(
+                        one, (_chunks(omegas), _chunks(U_re), _chunks(U_im)))
+                    AU_re = AU_re.reshape(-1, AU_re.shape[-1])[:F]
+                    AU_im = AU_im.reshape(-1, AU_im.shape[-1])[:F]
+                else:
+                    AU_re, AU_im = mixed_apply(
+                        K_re, K_im, od["MIn"], omegas, U_re, U_im,
+                        od["rows"], od["cols"], n, ki_proportional=ki_prop)
                 return AU_re - B_re, AU_im - B_im
 
             core.sweep_u = sweep

@@ -374,6 +374,25 @@ def test_residual_adjoint_segmented_apply(problem_unsymm_mixed, monkeypatch):
                                atol=1e-8 * float(np.abs(Jf).max()))
 
 
+def test_residual_adjoint_chunked_apply(problem_unsymm_mixed, monkeypatch):
+    """Shrink the apply budget so the residual-map jacfwd runs through the
+    frequency-chunked lax.map path (the 46k-tier OOM guard) including a
+    ragged tail chunk, and check the Jacobian is unchanged."""
+    from plate_inverse_problem_tpu.models import problem as _prob
+    p = problem_unsymm_mixed
+    freqs = np.linspace(40, 300, 19)       # 2 chunks of 8 + ragged 3
+    ref = np.asarray(p.solveForward(freqs))
+    th = jnp.asarray(np.asarray(p.parameters) * jnp.asarray([1.05, 1.02, 1.2]))
+    _, Jf = p.getResidualFunction(freqs, ref,
+                                  jac_mode="fwd").value_and_jac(th)
+    monkeypatch.setattr(_prob, "_APPLY_BUDGET", 1.0)   # forces C = 8 < F
+    _, Ja = p.getResidualFunction(freqs, ref,
+                                  jac_mode="adjoint").value_and_jac(th)
+    Jf = np.asarray(Jf)
+    np.testing.assert_allclose(np.asarray(Ja), Jf, rtol=1e-6,
+                               atol=1e-8 * float(np.abs(Jf).max()))
+
+
 def test_residual_jac_mode_resolution(problem_unsymm, problem_unsymm_mixed):
     """'auto' resolves to adjoint on mixed-engine cores for scalar kinds,
     to fwd for the 'complex' kind and for engines without the hooks

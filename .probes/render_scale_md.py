@@ -42,7 +42,11 @@ time.
 
 The "compile" columns are the derived first-minus-steady cost of the
 cold-to-this-shape XLA compile (the per-tier compile budget, VERDICT r3
-task 5).
+task 5); "first" values benefit from the persistent cache when the same
+shape compiled in an earlier process.  ctor is a host-side build
+(ARPACK band basis + MG hierarchy + RCM layout) and is sensitive to
+concurrent host load — the 46k row's 76.8 s was measured while the CPU
+test suite ran on the same single-core host (15.6-18.6 s unloaded).
 
 | n_free | nnz | ctor (s) | sweep first (s) | sweep steady (s) | sweep compile (s) | solves/s/chip | worst rel err | GN first (s) | GN steady (s/iter) | GN compile (s) |
 |---|---|---|---|---|---|---|---|---|---|---|
@@ -106,7 +110,14 @@ tail = ("\n## Accuracy: the runtime arithmetic floor at band tiers (measured)\n\
         "at the bench tier (judge-measured 2.43e-7 incl. the resonance\n"
         "peak at 3453.6 solves/s, VERDICT.md round 3; builder-side runs of\n"
         "the same code measured 4.2e-8..5.9e-8 at the worst point — the\n"
-        "spread is run-to-run sensitivity of the scanned-peak error).\n")
+        "spread is run-to-run sensitivity of the scanned-peak error).\n\n"
+        "OPEN (round 4): the measured 104k-tier chip peak (2.8e-4) sits\n"
+        "~10x above the extrapolated arithmetic floor (CPU f64 floor\n"
+        "1.0-1.5e-6 x the 15-20x device per-op gap ~ 2e-5), and the 46k\n"
+        "peak drifts 2.4-4.6e-5 run-to-run.  Whether the gap is Krylov\n"
+        "convergence (budget/preconditioner at kappa ~ h^-4) or a deeper\n"
+        "arithmetic interaction is probed by .probes/peak_budget_104k.py\n"
+        "(doubled n_refine + k_cycle discrimination at the scanned peak).\n")
 if spmv:
     tail += ("\n## Exact f64 operator application: scatter vs band-GEMM\n\n"
              "One application of the exact split-f64 operator to 16 vectors\n"

@@ -61,12 +61,17 @@ print(f"3 cuts built: n_free={rec['n_free']} ctor={rec['ctor_s']}s",
 freqs = np.linspace(40.0, 600.0, F)
 t0 = time.perf_counter()
 datasets = []
+cut_s = []
 for p in problems:
+    tc = time.perf_counter()
     fr = np.asarray(p.solveForward(freqs, TRUE))
+    cut_s.append(round(time.perf_counter() - tc, 1))
     cf, cfr = Compressor(freqs, fr.astype(complex), F, 1)(COMP)
     datasets.append((cf, cfr))
 rec["synth_s"] = round(time.perf_counter() - t0, 1)
-print(f"synthetic sweeps + compression to {COMP} pts: {rec['synth_s']}s",
+rec["cut_sweep_s"] = cut_s
+print(f"synthetic sweeps + compression to {COMP} pts: {rec['synth_s']}s "
+      f"(per cut: {cut_s} — cuts share one executable since the trc hoist)",
       flush=True)
 
 scaling = jnp.asarray(TRUE)

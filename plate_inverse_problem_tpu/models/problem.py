@@ -61,6 +61,42 @@ from .materials import Material, get_material
 _APPLY_BUDGET = 100e6
 
 
+def _hoist_split_transform(transform, n_params, dtype=jnp.float64):
+    """closure_convert the split material transform so per-instance constant
+    arrays (e.g. a SOL laminate's Q->(A,B,D) maps from q_to_abd_matrices)
+    flow as jit ARGUMENTS instead of lowering to HLO constants.
+
+    Problems that differ only in those values — the multi-cut laminate
+    angles of a joint identification (examples/joint_identification.py) —
+    then produce byte-identical HLO and share ONE XLA executable /
+    persistent-cache entry; without this, every cut pays the full
+    scale-tier compile (~3x measured on the 3-cut north-star probe).
+
+    Returns ``(fn, consts)`` with ``fn(params, omega, *consts)``; ``consts``
+    ride in opdata (replicated by parallel.opdata_shardings).
+
+    (jax.closure_convert is NOT this: it hoists only closed-over *tracers*,
+    baking concrete arrays into the jaxpr as constants.)
+    """
+    closed, out_shape = jax.make_jaxpr(transform, return_shape=True)(
+        jnp.zeros((n_params,), dtype), jnp.zeros((), dtype))
+    out_tree = jax.tree_util.tree_structure(out_shape)
+    # hoist array consts only; scalars/weak-typed literals stay baked (their
+    # values are family-level, not per-instance)
+    hoist_ix = [i for i, c in enumerate(closed.consts)
+                if isinstance(c, (jax.Array, np.ndarray)) and np.ndim(c) > 0]
+    baked = list(closed.consts)
+
+    def converted(params, omega, *hoisted):
+        cs = list(baked)
+        for i, hval in zip(hoist_ix, hoisted):
+            cs[i] = hval
+        out = jax.core.eval_jaxpr(closed.jaxpr, cs, params, omega)
+        return jax.tree_util.tree_unflatten(out_tree, out)
+
+    return converted, [jnp.asarray(closed.consts[i]) for i in hoist_ix]
+
+
 class LossFunction:
     """Scalar loss with pre-jitted derivative oracles.
 
@@ -802,7 +838,9 @@ class Problem:
             return self._mixed_core(K_ref, ss, scale_vec)
 
         if self.is_symmetric_path:
-            transform = self.material.get_D_transform(h)
+            transform, tr_consts = _hoist_split_transform(
+                self.material.get_D_transform(h),
+                len(self.material._get_param_tuple()), dtype=rdt)
             opdata = {
                 "rows": jnp.asarray(op.pattern.rows),
                 "cols": jnp.asarray(op.pattern.cols),
@@ -812,18 +850,20 @@ class Problem:
                 "fKs": jnp.asarray(op.fKs * scale_vec[None, :], rdt),
                 "c": jnp.asarray(op.interpolation_vector * scale_vec, rdt),
                 "c0": jnp.asarray(op.interpolation_value_from_bc, rdt),
+                "trc": tr_consts,
             }
 
             def core(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(rdt)
                 params = jnp.asarray(params).astype(rdt)
                 if freq_dep:
-                    D = jax.vmap(lambda om: transform(params, om))(
+                    D = jax.vmap(
+                        lambda om: transform(params, om, *od["trc"]))(
                         omegas).astype(cdt)                       # (F, 6)
                     K_flat = jnp.einsum("fk,kn->fn", D, od["Ks"].astype(cdt))
                     bK = jnp.einsum("fk,kn->fn", D, od["fKs"].astype(cdt))
                 else:
-                    D = transform(params, omegas[0]).astype(cdt)
+                    D = transform(params, omegas[0], *od["trc"]).astype(cdt)
                     K_flat = jnp.einsum("k,kn->n", D, od["Ks"].astype(cdt))
                     bK = jnp.einsum("k,kn->n", D, od["fKs"].astype(cdt))
                 B = (jnp.atleast_2d(bK)
@@ -834,7 +874,9 @@ class Problem:
                 return od["c0"] + U @ od["c"]
 
         else:
-            transform = self.material.get_ABD_transform(h)
+            transform, tr_consts = _hoist_split_transform(
+                self.material.get_ABD_transform(h),
+                len(self.material._get_param_tuple()), dtype=rdt)
             acc = self.accelerometer
             eff = acc.effective_height * acc.height
             ts = acc.transverse_sensitivity
@@ -871,6 +913,7 @@ class Problem:
                 "rv": jnp.asarray((cv - eff * cwy) * scale_vec, rdt),
                 "rw": jnp.asarray(cw * scale_vec, rdt),
                 "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], rdt),
+                "trc": tr_consts,
             }
 
             def core(freqs, params, od):
@@ -878,7 +921,7 @@ class Problem:
                 params = jnp.asarray(params).astype(rdt)
                 if freq_dep:
                     def _c(om):
-                        Av, Bv, Dv = transform(params, om)
+                        Av, Bv, Dv = transform(params, om, *od["trc"])
                         return jnp.stack([Av, Bv, Dv])
                     coeffs = jax.vmap(_c)(omegas).astype(cdt)     # (F, 3, 6)
                     K_flat = jnp.einsum("fmk,mkn->fn", coeffs,
@@ -886,7 +929,7 @@ class Problem:
                     bK = jnp.einsum("fmk,mkn->fn", coeffs,
                                     od["fABD"].astype(cdt))
                 else:
-                    Av, Bv, Dv = transform(params, omegas[0])
+                    Av, Bv, Dv = transform(params, omegas[0], *od["trc"])
                     coeffs = jnp.stack([Av, Bv, Dv]).astype(cdt)  # (3, 6)
                     K_flat = jnp.einsum("mk,mkn->n", coeffs,
                                         od["ABD"].astype(cdt))
@@ -1296,7 +1339,9 @@ class Problem:
             # coefficient path floors FRF accuracy at ~5e-6 near resonance
             # peaks (coefficient rounding amplified by the resonance Q),
             # independent of solver tolerance
-            transform = self.material.get_D_transform_split(h)
+            transform, tr_consts = _hoist_split_transform(
+                self.material.get_D_transform_split(h),
+                len(self.material._get_param_tuple()))
             opdata = base | {
                 "Ks": jnp.asarray(op.Ks * ss[None, :], jnp.float64),
                 "fKs": jnp.asarray(pvec(op.fKs * scale_vec[None, :]),
@@ -1304,12 +1349,13 @@ class Problem:
                 "c": jnp.asarray(pvec(op.interpolation_vector * scale_vec),
                                  jnp.float64),
                 "c0": jnp.asarray(op.interpolation_value_from_bc, jnp.float64),
+                "trc": tr_consts,
             }
 
             def _assemble(freqs, params, od):
                 omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
                 params = jnp.asarray(params).astype(jnp.float64)
-                Dre, Dim = transform(params, omegas[0])
+                Dre, Dim = transform(params, omegas[0], *od["trc"])
                 Dre = Dre.astype(jnp.float64)
                 Dim = Dim.astype(jnp.float64)
                 K_re = jnp.einsum("k,kn->n", Dre, od["Ks"])
@@ -1354,7 +1400,9 @@ class Problem:
 
         # ---- 3-field path --------------------------------------------------
         # split (re, im) transform at f64 theta — see the symmetric path note
-        transform = self.material.get_ABD_transform_split(h)
+        transform, tr_consts = _hoist_split_transform(
+            self.material.get_ABD_transform_split(h),
+            len(self.material._get_param_tuple()))
         acc = self.accelerometer
         eff = acc.effective_height * acc.height
         ts = acc.transverse_sensitivity
@@ -1384,12 +1432,14 @@ class Problem:
             "rv": jnp.asarray(pvec((cv - eff * cwy) * scale_vec), jnp.float64),
             "rw": jnp.asarray(pvec(cw * scale_vec), jnp.float64),
             "r0": jnp.asarray([ou - eff * owx, ov - eff * owy, ow], jnp.float64),
+            "trc": tr_consts,
         }
 
         def _assemble3(freqs, params, od):
             omegas = (2.0 * jnp.pi * jnp.asarray(freqs)).astype(jnp.float64)
             params = jnp.asarray(params).astype(jnp.float64)
-            (Are, Aim), (Bre, Bim), (Dre, Dim) = transform(params, omegas[0])
+            (Are, Aim), (Bre, Bim), (Dre, Dim) = transform(
+                params, omegas[0], *od["trc"])
             Cre = jnp.stack([Are, Bre, Dre]).astype(jnp.float64)  # (3, 6)
             Cim = jnp.stack([Aim, Bim, Dim]).astype(jnp.float64)
             K_re = jnp.einsum("mk,mkn->n", Cre, od["ABD"])

@@ -597,3 +597,42 @@ def test_call_segmentation_matches_unsegmented():
         np.testing.assert_allclose(
             np.asarray(rf1(th2)), np.asarray(r0), rtol=1e-8,
             atol=1e-10 * float(np.abs(np.asarray(r0)).max()))
+
+
+def test_sol_cuts_share_one_executable(small_setup):
+    """Multi-cut SOL Problems (same geometry, different laminate angles)
+    must lower to byte-identical HLO: the per-angle Q->(A,B,D) maps travel
+    in opdata (``trc``, problem._hoist_split_transform), not as HLO
+    constants.  Without this, every cut of a joint identification pays the
+    full scale-tier XLA compile (~3x measured on the 3-cut north star)."""
+    acc, geom, _ = small_setup
+    freqs = jnp.linspace(40.0, 600.0, 4)
+    th = jnp.asarray([120e9, 8.5e9, 4.5e9, 0.30, 0.006], jnp.float64)
+    for engine in ("modal", "mixed"):
+        texts = []
+        for a in (0.0, 45.0):
+            mat = pip.get_material(
+                1550.0, "sol", angles=(a,), E1=120e9, E2=8.5e9,
+                G12=4.5e9, nu12=0.30, beta=0.006)
+            p = pip.Problem(geom, mat, acc, engine=engine)
+            core, od = p.getFRCore()
+            assert od["trc"], "SOL transform consts should be hoisted"
+            texts.append(jax.jit(core).lower(freqs, th, od).as_text())
+        assert texts[0] == texts[1], f"engine={engine}: cuts recompile"
+
+
+def test_hoisted_transform_matches_direct_eval(small_setup):
+    """The hoisted-const transform path is numerically identical to the
+    closure transform it replaces (same jaxpr, consts as arguments)."""
+    from plate_inverse_problem_tpu.models.problem import _hoist_split_transform
+
+    mat = pip.get_material(1550.0, "sol", angles=(30.0,), E1=120e9,
+                           E2=8.5e9, G12=4.5e9, nu12=0.30, beta=0.006)
+    tr = mat.get_D_transform_split(2e-3)
+    fn, consts = _hoist_split_transform(tr, 5)
+    th = jnp.asarray([120e9, 8.5e9, 4.5e9, 0.30, 0.006], jnp.float64)
+    om = jnp.asarray(100.0, jnp.float64)
+    a = jax.tree_util.tree_leaves(tr(th, om))
+    b = jax.tree_util.tree_leaves(fn(th, om, *consts))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

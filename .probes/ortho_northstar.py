@@ -102,7 +102,7 @@ res = optimize_gauss_newton(joint, jnp.asarray(s0), N_steps=NSTEPS,
 rec["inverse_s"] = round(time.perf_counter() - t0, 1)
 x = np.asarray(res.x) * TRUE
 rel = np.abs(x - TRUE) / TRUE
-rec["status"] = int(res.status)
+rec["status"] = str(res.status)
 rec["loss_first"] = float(res.f_history[0])
 rec["loss_final"] = float(res.f)
 rec["param_rel_err"] = [float(f"{e:.3e}") for e in rel]

@@ -61,6 +61,27 @@ from .materials import Material, get_material
 _APPLY_BUDGET = 100e6
 
 
+def _split_ref(reference_fr):
+    """Device the reference FRF as an (F, 2) (re, im) real stack.
+
+    complex128 is not a TPU dtype: ``jnp.asarray`` of a complex128 numpy
+    reference kills the backend at device_put ('TPU backend setup/compile
+    error (Unavailable)', measured on the north-star probe) before any
+    compute runs.  Real references get a zero imaginary lane so every loss/
+    residual kind sees one layout.
+    """
+    r = np.asarray(reference_fr)
+    if np.iscomplexobj(r):
+        return jnp.stack([jnp.asarray(r.real), jnp.asarray(r.imag)], axis=-1)
+    rr = jnp.asarray(r)
+    return jnp.stack([rr, jnp.zeros_like(rr)], axis=-1)
+
+
+def _ref_abs2(ref):
+    """|ref|^2 from the split (re, im) layout."""
+    return ref[..., 0] ** 2 + ref[..., 1] ** 2
+
+
 def _hoist_split_transform(transform, n_params, dtype=jnp.float64):
     """closure_convert the split material transform so per-instance constant
     arrays (e.g. a SOL laminate's Q->(A,B,D) maps from q_to_abd_matrices)
@@ -111,7 +132,7 @@ class LossFunction:
                  scaling_params=None, call_seg=None):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
-        self._ref = jnp.asarray(reference_fr)
+        self._ref = _split_ref(reference_fr)   # (F, 2): TPU-legal re/im
         self.func_type = func_type
 
         if scaling_params is None:
@@ -121,16 +142,21 @@ class LossFunction:
 
         if func_type == "MSE":
             def term(fr, ref):
-                return jnp.abs(fr - ref) ** 2
+                d_re = jnp.real(fr) - ref[..., 0]
+                d_im = jnp.imag(fr) - ref[..., 1]
+                return d_re ** 2 + d_im ** 2
         elif func_type == "RMSE":
             def term(fr, ref):
-                return jnp.abs((fr - ref) / ref) ** 2
+                d_re = jnp.real(fr) - ref[..., 0]
+                d_im = jnp.imag(fr) - ref[..., 1]
+                return (d_re ** 2 + d_im ** 2) / _ref_abs2(ref)
         elif func_type == "MSE_AFC":
             def term(fr, ref):
-                return (jnp.abs(fr) - jnp.abs(ref)) ** 2
+                return (jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))) ** 2
         elif func_type == "MSE_LOG_AFC":
             def term(fr, ref):
-                return (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2
+                return (jnp.log(jnp.abs(fr))
+                        - 0.5 * jnp.log(_ref_abs2(ref))) ** 2
         else:
             raise ValueError(f'Function type "{func_type}" is not supported!')
 
@@ -158,10 +184,10 @@ class LossFunction:
             fpad = jnp.concatenate(
                 [self._freqs, jnp.repeat(self._freqs[-1:], pad)])
             rpad = jnp.concatenate(
-                [self._ref, jnp.repeat(self._ref[-1:], pad)])
+                [self._ref, jnp.repeat(self._ref[-1:], pad, axis=0)])
             w = jnp.concatenate([jnp.ones(F), jnp.zeros(pad)])
             self._segments = (fpad.reshape(n_seg, call_seg),
-                              rpad.reshape(n_seg, call_seg),
+                              rpad.reshape(n_seg, call_seg, 2),
                               w.reshape(n_seg, call_seg), float(F))
 
             def fullsum(params, od, fs, refs, ws):
@@ -263,21 +289,22 @@ class ResidualFunction:
                  call_seg: int | None = None, jac_mode: str = "auto"):
         self._opdata = opdata
         self._freqs = jnp.asarray(frequencies)
-        self._ref = jnp.asarray(reference_fr)
+        self._ref = _split_ref(reference_fr)   # (F, 2): TPU-legal re/im
         self.kind = kind
         self._chunk = freq_chunk
         scaling = 1.0 if scaling_params is None else jnp.asarray(scaling_params)
 
         if kind == "log_afc":
             def resid(fr, ref):
-                return jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))
+                return jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))
         elif kind == "afc":
             def resid(fr, ref):
-                return jnp.abs(fr) - jnp.abs(ref)
+                return jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))
         elif kind == "complex":
             def resid(fr, ref):
-                d = fr - ref
-                return jnp.concatenate([jnp.real(d), jnp.imag(d)])
+                d_re = jnp.real(fr) - ref[..., 0]
+                d_im = jnp.imag(fr) - ref[..., 1]
+                return jnp.concatenate([d_re, d_im])
         else:
             raise ValueError(f"Unknown residual kind {kind!r}.")
 
@@ -308,14 +335,14 @@ class ResidualFunction:
             n_chunks = -(-F // c)
             pad = n_chunks * c - F
             fpad = jnp.concatenate([freqs, jnp.repeat(freqs[-1:], pad)])
-            rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad)])
+            rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad, axis=0)])
 
             def one(args):
                 fc, rc = args
                 return rj(params, od, fc, rc)
 
             rs, Js = jax.lax.map(
-                one, (fpad.reshape(n_chunks, c), rpad.reshape(n_chunks, c))
+                one, (fpad.reshape(n_chunks, c), rpad.reshape(n_chunks, c, 2))
             )
             return rs.reshape(-1)[:F], Js.reshape(-1, Js.shape[-1])[:F]
 
@@ -395,10 +422,10 @@ class ResidualFunction:
             fpad = jnp.concatenate(
                 [self._freqs, jnp.repeat(self._freqs[-1:], pad)])
             rpad = jnp.concatenate(
-                [self._ref, jnp.repeat(self._ref[-1:], pad)])
+                [self._ref, jnp.repeat(self._ref[-1:], pad, axis=0)])
             eff = [call_seg] * (n_seg - 1) + [call_seg - pad]
             self._segments = (fpad.reshape(n_seg, call_seg),
-                              rpad.reshape(n_seg, call_seg), eff, call_seg)
+                              rpad.reshape(n_seg, call_seg, 2), eff, call_seg)
 
     def _seg_collect(self, fn, params):
         fseg, rseg, eff, seg = self._segments

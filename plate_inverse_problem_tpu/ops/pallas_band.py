@@ -59,7 +59,12 @@ def _band_mv_pallas(band, xp, nb: int, b: int, interpret: bool = False):
 
     def x_spec(shift):
         def imap(q, r):
-            qq = jnp.clip(q + shift, 0, nb - 1)
+            # lax primitives only: jnp.clip's ufunc dispatch re-enters the
+            # tracer inside the index-map trace and blows the recursion
+            # limit under the axon platform (measured, pallas_band_bench)
+            hi = jnp.asarray(nb - 1, dtype=q.dtype)
+            lo = jnp.asarray(0, dtype=q.dtype)
+            qq = jax.lax.max(jax.lax.min(q + shift, hi), lo)
             return (0, qq)
         return pl.BlockSpec((B, b), imap, memory_space=pltpu.VMEM)
 

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.problem import _ref_abs2, _split_ref
+
 
 def make_mesh(n_devices: int | None = None, dof_axis: int = 1) -> Mesh:
     """Device mesh with a ``freq`` axis (and optional ``dof`` axis).
@@ -40,7 +42,8 @@ def shard_frequencies(mesh: Mesh, freqs: jax.Array) -> jax.Array:
     freqs = jnp.asarray(freqs)
     rem = (-freqs.shape[0]) % nf
     if rem:
-        freqs = jnp.concatenate([freqs, jnp.repeat(freqs[-1:], rem)])
+        freqs = jnp.concatenate(
+            [freqs, jnp.repeat(freqs[-1:], rem, axis=0)])
     return jax.device_put(freqs, NamedSharding(mesh, P("freq")))
 
 
@@ -144,12 +147,13 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
     core, opdata = problem.getFRCore()
 
     def loss_fn(params, freqs, ref, n_true, od):
+        # ref is the (F, 2) re/im split (complex128 is not a TPU dtype)
         fr = core(freqs, params, od)
-        err = (
-            (jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))) ** 2
-            if loss_type == "MSE_LOG_AFC"
-            else jnp.abs(fr - ref) ** 2
-        )
+        if loss_type == "MSE_LOG_AFC":
+            err = (jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))) ** 2
+        else:
+            err = ((jnp.real(fr) - ref[..., 0]) ** 2
+                   + (jnp.imag(fr) - ref[..., 1]) ** 2)
         # entries past n_true are pad duplicates of the last frequency:
         # zero their weight so they don't skew the mean
         live = jnp.arange(err.shape[0]) < n_true
@@ -171,7 +175,7 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
     def wrapper(freqs, ref, params):
         n_true = jnp.asarray(freqs).shape[0]
         fs = shard_frequencies(mesh, jnp.asarray(freqs))
-        rs = shard_frequencies(mesh, jnp.asarray(ref))
+        rs = shard_frequencies(mesh, _split_ref(ref))
         return jitted(fs, rs, n_true, params, opdata)
 
     return wrapper
@@ -232,10 +236,11 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     call_budget = None if seg_per_chip is None else seg_per_chip * nf_axis
 
     def _resid_of_fr(fr, ref, n_true):
+        # ref is the (F, 2) re/im split (complex128 is not a TPU dtype)
         if kind == "log_afc":
-            r = jnp.log(jnp.abs(fr)) - jnp.log(jnp.abs(ref))
+            r = jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))
         else:
-            r = jnp.abs(fr) - jnp.abs(ref)
+            r = jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))
         live = jnp.arange(r.shape[0]) < n_true
         return jnp.where(live, r, 0.0)
 
@@ -295,7 +300,7 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
         """(rsq, JtJ, Jtr) over the full frequency set, segmented across
         device calls when the per-call budget demands it."""
         freqs = jnp.asarray(freqs)
-        ref = jnp.asarray(ref)
+        ref = _split_ref(ref)
         F = int(freqs.shape[0])
         if call_budget is None or F <= call_budget:
             fs = shard_frequencies(mesh, freqs)
@@ -308,7 +313,7 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
         n_seg = -(-F // call_budget)
         pad = n_seg * call_budget - F
         fpad = jnp.concatenate([freqs, jnp.repeat(freqs[-1:], pad)])
-        rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad)])
+        rpad = jnp.concatenate([ref, jnp.repeat(ref[-1:], pad, axis=0)])
         rsq_acc, JtJ_acc, Jtr_acc = 0.0, None, None
         for s in range(n_seg):
             lo = s * call_budget

@@ -636,3 +636,51 @@ def test_hoisted_transform_matches_direct_eval(small_setup):
     b = jax.tree_util.tree_leaves(fn(th, om, *consts))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_complex_reference_split_layout(problem_unsymm):
+    """complex128 references must work through every loss/residual kind.
+
+    complex128 is not a TPU dtype — LossFunction/ResidualFunction stack
+    the reference into an (F, 2) (re, im) real layout at the host
+    boundary (models/problem._split_ref).  Semantics vs the reference
+    (Problem.py getLossFunction): identical to computing with the
+    complex value directly.
+    """
+    p = problem_unsymm
+    freqs = np.linspace(40, 200, 6)
+    y = np.asarray(p.solveForward(freqs))
+    yc = y.astype(np.complex128)
+    theta = jnp.asarray(p.parameters)
+
+    # at the truth every loss kind vanishes and gradients are finite
+    for lt in ("MSE", "RMSE", "MSE_AFC", "MSE_LOG_AFC"):
+        loss = p.getLossFunction(freqs, yc, lt)
+        assert float(loss(theta)) < 1e-14, lt
+        g = np.asarray(jax.grad(loss)(theta))
+        assert np.all(np.isfinite(g)), lt
+
+    # a phase-rotated complex reference: |.|-based kinds are invariant,
+    # MSE matches the closed form |fr - ref|^2 exactly
+    yrot = yc * np.exp(0.7j)
+    assert float(p.getLossFunction(freqs, yrot, "MSE_LOG_AFC")(theta)) < 1e-14
+    got = float(p.getLossFunction(freqs, yrot, "MSE")(theta))
+    expect = float(np.mean(np.abs(y - yrot) ** 2))
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+    # residual kinds: zero at truth, finite Jacobians, complex kind
+    # splits into (re, im) stacked residuals of length 2F
+    for kind, length in (("complex", 12), ("afc", 6), ("log_afc", 6)):
+        rf = p.getResidualFunction(freqs, yc, kind=kind)
+        r, J = rf.value_and_jac(theta)
+        r, J = np.asarray(r), np.asarray(J)
+        assert r.shape == (length,), kind
+        assert np.abs(r).max() < 1e-7, kind
+        assert np.all(np.isfinite(J)), kind
+
+    # the complex residual kind SEES the phase: rotated ref gives a
+    # nonzero residual whose norm^2 matches F * MSE
+    rf = p.getResidualFunction(freqs, yrot, kind="complex")
+    r, _ = rf.value_and_jac(theta)
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(r) ** 2) / len(freqs)), expect, rtol=1e-9)

@@ -101,7 +101,14 @@ res = optimize_gauss_newton(joint, jnp.asarray(s0), N_steps=NSTEPS,
                             f_min=1e-16)
 rec["inverse_s"] = round(time.perf_counter() - t0, 1)
 x = np.asarray(res.x) * TRUE
-rel = np.abs(x - TRUE) / TRUE
+rel_raw = np.abs(x - TRUE) / TRUE
+# |FRF| is even in beta: +-beta are both exact minima of a magnitude
+# residual (ROADMAP.md Identifiability) — score beta up to sign, and
+# record the raw error too so a sign flip stays visible.
+x_signfix = x.copy()
+x_signfix[4] = abs(x_signfix[4])
+rel = np.abs(x_signfix - TRUE) / TRUE
+rec["param_rel_err_raw"] = [float(f"{e:.3e}") for e in rel_raw]
 rec["status"] = str(res.status)
 rec["loss_first"] = float(res.f_history[0])
 rec["loss_final"] = float(res.f)

@@ -6,6 +6,7 @@ Counterpart of the reference's native-lib smoke test
 examples/test_cpp_lib.py).
 """
 from .smoke import test_function, device_report
-from .oracle import frf_oracle, oracle_check
+from .oracle import frf_oracle, oracle_check, polish_peaks
 
-__all__ = ["test_function", "device_report", "frf_oracle", "oracle_check"]
+__all__ = ["test_function", "device_report", "frf_oracle", "oracle_check",
+           "polish_peaks"]

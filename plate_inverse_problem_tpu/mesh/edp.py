@@ -18,11 +18,50 @@ from __future__ import annotations
 import ast
 import operator
 import re
+import warnings
 
 import numpy as np
 
 from .core import TriangleMesh
 from .delaunay import build_mesh
+
+# FreeFEM statements OUTSIDE the geometry subset this module interprets.
+# The reference executes the whole script through FreeFEM
+# (pyFreeFem/FreeFemIO.py:247-334); here the solver stack (fem/ + ops/)
+# replaces the FE side, so these are skipped — loudly, because a user who
+# wrote a custom varf expects it to matter.
+_FE_STATEMENTS = (
+    ("fespace", r"\bfespace\b"),
+    ("varf", r"\bvarf\b"),
+    ("problem", r"\bproblem\b"),
+    ("solve", r"\bsolve\b"),
+    ("macro", r"\bmacro\b"),
+    ("matrix", r"\bmatrix\b"),
+)
+
+
+def warn_ignored_fe_statements(text: str, source: str = ".edp script"):
+    """RuntimeWarning naming any FE-side statements the interpreter skips.
+
+    Only the geometry subset (parameters, borders, buildmesh, ``on(...)``
+    Dirichlet labels, the readout point) is interpreted; fespace / varf /
+    solve / problem / macro / matrix sections are replaced by the
+    framework's own Morley/3-field assembly (fem/assembly.py) and solver
+    engines (ops/).  The reference would have executed them via FreeFEM —
+    silence here would be a user trap.
+    """
+    stripped = _strip_comments(text)
+    found = sorted({name for name, pat in _FE_STATEMENTS
+                    if re.search(pat, stripped)})
+    if found:
+        warnings.warn(
+            f"{source} contains FreeFEM FE statements the geometry "
+            f"interpreter does not execute: {', '.join(found)}. Only "
+            "borders/parameters/buildmesh/on(...)-labels/readout are read; "
+            "element assembly and solves are performed by "
+            "plate_inverse_problem_tpu's own FEM stack instead.",
+            RuntimeWarning, stacklevel=3)
+    return found
 
 _SAFE_FUNCS = {
     "cos": np.cos, "sin": np.sin, "tan": np.tan, "sqrt": np.sqrt,

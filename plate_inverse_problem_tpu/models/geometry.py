@@ -155,6 +155,12 @@ class Geometry:
             elif ext == ".edp":
                 with open(edp_or_template, "r") as fh:
                     text = fh.read()
+                # loud, not silent: name any varf/fespace/solve/... sections
+                # the geometry interpreter skips (the reference would have
+                # executed them via FreeFEM; here fem/+ops/ replace them)
+                from ..mesh.edp import warn_ignored_fe_statements
+
+                warn_ignored_fe_statements(text, source=self.current_file)
                 vals = _parse_edp_params(text)
                 if params is None and height is None:
                     raise ValueError(

@@ -82,6 +82,15 @@ def _ref_abs2(ref):
     return ref[..., 0] ** 2 + ref[..., 1] ** 2
 
 
+def _ref_abs(ref):
+    """|ref| from the split (re, im) layout.
+
+    ``hypot`` rather than ``sqrt(re^2 + im^2)``: the squared magnitude
+    under/overflows for |ref| beyond ~1e±154, which would turn the log-AFC
+    losses into -inf/inf where log(abs(complex)) is exact."""
+    return jnp.hypot(ref[..., 0], ref[..., 1])
+
+
 def _hoist_split_transform(transform, n_params, dtype=jnp.float64):
     """closure_convert the split material transform so per-instance constant
     arrays (e.g. a SOL laminate's Q->(A,B,D) maps from q_to_abd_matrices)
@@ -102,10 +111,12 @@ def _hoist_split_transform(transform, n_params, dtype=jnp.float64):
     closed, out_shape = jax.make_jaxpr(transform, return_shape=True)(
         jnp.zeros((n_params,), dtype), jnp.zeros((), dtype))
     out_tree = jax.tree_util.tree_structure(out_shape)
-    # hoist array consts only; scalars/weak-typed literals stay baked (their
-    # values are family-level, not per-instance)
+    # hoist every ARRAY const, 0-d included — a family whose per-instance
+    # value traces as a 0-d array would otherwise bake into the HLO and
+    # silently break the one-executable-per-family sharing; only Python
+    # scalars / weak-typed literals stay baked (genuinely family-level)
     hoist_ix = [i for i, c in enumerate(closed.consts)
-                if isinstance(c, (jax.Array, np.ndarray)) and np.ndim(c) > 0]
+                if isinstance(c, (jax.Array, np.ndarray))]
     baked = list(closed.consts)
 
     def converted(params, omega, *hoisted):
@@ -152,11 +163,10 @@ class LossFunction:
                 return (d_re ** 2 + d_im ** 2) / _ref_abs2(ref)
         elif func_type == "MSE_AFC":
             def term(fr, ref):
-                return (jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))) ** 2
+                return (jnp.abs(fr) - _ref_abs(ref)) ** 2
         elif func_type == "MSE_LOG_AFC":
             def term(fr, ref):
-                return (jnp.log(jnp.abs(fr))
-                        - 0.5 * jnp.log(_ref_abs2(ref))) ** 2
+                return (jnp.log(jnp.abs(fr)) - jnp.log(_ref_abs(ref))) ** 2
         else:
             raise ValueError(f'Function type "{func_type}" is not supported!')
 
@@ -259,6 +269,18 @@ class LossFunction:
         return self._vgh(params, self._opdata, self._freqs, self._ref)
 
 
+# engine-core attributes the adjoint Gauss-Newton Jacobian needs (primal /
+# adjoint sweeps, the explicit residual map, the solve-free readout).  ONE
+# predicate shared by every adjoint-mode selector: a core with only some of
+# the hooks must look non-adjoint everywhere at once, or the call
+# segmentation / freq-chunk policies would size for a mode that never runs.
+_ADJOINT_HOOKS = ("sweep_u", "sweep_adj", "apply_res", "readout_ui")
+
+
+def _has_adjoint_hooks(core) -> bool:
+    return all(hasattr(core, a) for a in _ADJOINT_HOOKS)
+
+
 class ResidualFunction:
     """Vector residual r(theta) with a pre-jitted Jacobian oracle for
     Gauss-Newton (the BASELINE north-star optimizer).
@@ -296,10 +318,10 @@ class ResidualFunction:
 
         if kind == "log_afc":
             def resid(fr, ref):
-                return jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))
+                return jnp.log(jnp.abs(fr)) - jnp.log(_ref_abs(ref))
         elif kind == "afc":
             def resid(fr, ref):
-                return jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))
+                return jnp.abs(fr) - _ref_abs(ref)
         elif kind == "complex":
             def resid(fr, ref):
                 d_re = jnp.real(fr) - ref[..., 0]
@@ -352,11 +374,7 @@ class ResidualFunction:
                 "residual kinds ('log_afc', 'afc')."
             )
 
-        adjoint_ok = (
-            kind in ("log_afc", "afc")
-            and all(hasattr(core, a) for a in
-                    ("sweep_u", "sweep_adj", "apply_res", "readout_ui"))
-        )
+        adjoint_ok = kind in ("log_afc", "afc") and _has_adjoint_hooks(core)
         if jac_mode == "auto":
             jac_mode = "adjoint" if adjoint_ok else "fwd"
         elif jac_mode == "adjoint" and not adjoint_ok:
@@ -368,6 +386,17 @@ class ResidualFunction:
         elif jac_mode not in ("adjoint", "fwd"):
             raise ValueError(f"Unknown jac_mode {jac_mode!r}.")
         self.jac_mode = jac_mode
+        if jac_mode == "adjoint" and freq_chunk is not None:
+            # the adjoint r+J never materializes per-parameter solution
+            # batches, so the jacfwd chunking knob has nothing to bound
+            # there (its memory is governed by the engine's own sweep/apply
+            # chunking) — honoring it silently as a no-op would hide a
+            # caller's intent to cap memory
+            warnings.warn(
+                "freq_chunk only bounds the jacfwd Jacobian; the adjoint "
+                "jac_mode ignores it (memory is bounded by the engine's "
+                "sweep/apply chunking). Pass jac_mode='fwd' to chunk, or "
+                "drop freq_chunk.", RuntimeWarning, stacklevel=2)
 
         def rj_adjoint(params, od, freqs, ref):
             # 2 solves total: primal sweep + ONE batched adjoint solve.
@@ -855,6 +884,10 @@ class Problem:
         np.add.at(dvals, diag_rows, np.abs(K_ref[diag_slots]))
         dvals = np.where(dvals > 0, dvals, 1.0)
         scale_vec = 1.0 / np.sqrt(dvals)
+        # kept for host-side helpers that map device (equilibrated,
+        # possibly RCM-permuted) solution vectors back to physical DOFs
+        # (diagnostics.oracle.polish_peaks)
+        self._eq_scale = scale_vec
 
         # fold the equilibration into the static operator data: scaled
         # system solves for u~ = S^-1 u, so lifts scale by S and readout
@@ -1743,14 +1776,33 @@ class Problem:
             "converged": (rn <= tol * (1.0 + 1e-12)) | (rn <= 1e-9 * rn0),
         }
 
-    def solveForward(self, freqs: np.ndarray, params: np.ndarray = None) -> np.ndarray:
-        """Forward FRF for a set of frequencies (Problem.py:611-639)."""
+    def solveForward(self, freqs: np.ndarray, params: np.ndarray = None,
+                     polish_peaks=False) -> np.ndarray:
+        """Forward FRF for a set of frequencies (Problem.py:611-639).
+
+        ``polish_peaks``: resonance-grade accuracy at scanned |FRF| peaks on
+        the chip — True polishes the global peak, an int k the k largest
+        local maxima, a sequence explicit indices.  Each polished point gets
+        a host-exact residual correction fed back through the engine
+        (diagnostics.oracle.polish_peaks), turning the TPU runtime's
+        ~1e-5..1e-4 resonance-peak arithmetic floor (SCALE.md) into ~1e-7
+        for one extra small solve batch; off-peak points are already at
+        1e-9..1e-7 and are left untouched.
+        """
         if params is None:
             params = self.parameters
         params = jnp.array(params)
         self._check_band(freqs)
         fr_func = self.getFRFunction()
-        return fr_func(jnp.asarray(freqs), params)
+        fr = fr_func(jnp.asarray(freqs), params)
+        if polish_peaks is False or polish_peaks is None:
+            return fr
+        from ..diagnostics.oracle import polish_peaks as _polish
+
+        peaks = 1 if polish_peaks is True else polish_peaks
+        fr_pol, _ = _polish(self, freqs, fr=fr, params=np.asarray(params),
+                            peaks=peaks)
+        return fr_pol
 
     def getSolutionMatrices(self, D, beta):
         """Flat K_real/K_imag/MInertia data (Problem.py:923-930 analog)."""
@@ -1808,7 +1860,7 @@ class Problem:
         adjoint_selected = (
             jac_mode in ("auto", "adjoint")
             and kind in ("log_afc", "afc")
-            and hasattr(core, "sweep_u")
+            and _has_adjoint_hooks(core)
         )
         if (freq_chunk is None and kind != "complex"
                 and not adjoint_selected
@@ -1877,41 +1929,57 @@ class Problem:
             comp = Compressor(ref_fr[0], ref_fr[1], compression[1], comp_alg)
             ref_fr[0], ref_fr[1] = comp(compression[1])
 
-        arg0 = np.array(arg0)
+        # ---- start point / search box + O(1) scaling --------------------
+        # Public-API contract (reference Problem.py:760-798, same semantics
+        # in our own structure): a 1-D arg0 is a start point — absolute, or
+        # with use_rel relative corrections on the Problem's own parameter
+        # vector, theta_0 = (1 + arg0) * parameters; a 2-D arg0 is a
+        # per-parameter bounds box for the global optimizers.  use_scaling
+        # rescales so the optimizer iterates on O(1) variables while the
+        # loss multiplies the scale back in.
+        guess = np.asarray(arg0, dtype=np.float64)
         scaling_params = None
-
-        if arg0.ndim == 1:
-            if use_rel:
-                if getattr(self, "parameters", None) is None:
-                    raise ValueError(
-                        "Cannot use `arg0` as relative coefficients of "
-                        "correction as Problem object has no `parameters` "
-                        "attribute."
-                    )
-                x0_bds = jnp.array(self.parameters) * (jnp.array(arg0) + 1)
-                if use_scaling:
-                    scaling_params = x0_bds
-                    x0_bds = jnp.array(arg0) + 1
-            else:
-                x0_bds = jnp.array(arg0)
-                if use_scaling:
-                    scaling_params = x0_bds
-                    x0_bds = jnp.ones_like(x0_bds)
-        elif arg0.ndim == 2:
+        if guess.ndim == 2:
+            x0_bds = guess
             if use_scaling:
-                scaling_params = np.max(np.abs(arg0), axis=1)
-                x0_bds = arg0 / scaling_params[:, None]
+                # each bounds row maps to O(1) by its largest magnitude
+                scaling_params = np.max(np.abs(guess), axis=1)
+                x0_bds = guess / scaling_params[:, None]
+        elif guess.ndim == 1:
+            if use_rel:
+                base = getattr(self, "parameters", None)
+                if base is None:
+                    raise ValueError(
+                        "use_rel=True reads arg0 as relative corrections on "
+                        "the Problem's own parameter vector, but this "
+                        "Problem carries none (material built without "
+                        "parameters)."
+                    )
+                factors = jnp.asarray(guess) + 1.0
+                start = jnp.asarray(base) * factors
             else:
-                x0_bds = arg0
+                factors = None
+                start = jnp.asarray(guess)
+            if use_scaling:
+                scaling_params = start
+                x0_bds = factors if use_rel else jnp.ones_like(start)
+            else:
+                x0_bds = start
         else:
-            raise ValueError("Invalid shape of `arg0` argument.")
+            raise ValueError(
+                f"arg0 must be a 1-D start point or a 2-D bounds box; got "
+                f"ndim={guess.ndim}."
+            )
 
         loss = self.getLossFunction(ref_fr[0], ref_fr[1], loss_type, scaling_params)
 
+        # reporting/constraints below want a filled scaling array; bounds
+        # boxes carry it once per bound column
         if scaling_params is None:
             scaling_params = np.ones_like(np.asarray(x0_bds))
         elif np.asarray(x0_bds).ndim == 2:
-            scaling_params = np.tile(np.asarray(scaling_params), (2, 1)).T
+            scaling_params = np.repeat(
+                np.asarray(scaling_params)[:, None], 2, axis=1)
 
         local = {
             "trust_region": optimize_trust_region,

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.problem import _ref_abs2, _split_ref
+from ..models.problem import _has_adjoint_hooks, _ref_abs, _split_ref
 
 
 def make_mesh(n_devices: int | None = None, dof_axis: int = 1) -> Mesh:
@@ -150,7 +150,7 @@ def sharded_train_step(problem, mesh: Mesh, loss_type: str = "MSE_LOG_AFC",
         # ref is the (F, 2) re/im split (complex128 is not a TPU dtype)
         fr = core(freqs, params, od)
         if loss_type == "MSE_LOG_AFC":
-            err = (jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))) ** 2
+            err = (jnp.log(jnp.abs(fr)) - jnp.log(_ref_abs(ref))) ** 2
         else:
             err = ((jnp.real(fr) - ref[..., 0]) ** 2
                    + (jnp.imag(fr) - ref[..., 1]) ** 2)
@@ -221,8 +221,7 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     if kind not in ("log_afc", "afc"):
         raise ValueError(f"unsupported sharded-GN residual kind {kind!r}")
 
-    adjoint_ok = all(hasattr(core, a) for a in
-                     ("sweep_u", "sweep_adj", "apply_res", "readout_ui"))
+    adjoint_ok = _has_adjoint_hooks(core)
     if jac_mode == "auto":
         jac_mode = "adjoint" if adjoint_ok else "fwd"
     elif jac_mode == "adjoint" and not adjoint_ok:
@@ -238,9 +237,9 @@ def sharded_gn_step(problem, mesh: Mesh, kind: str = "log_afc",
     def _resid_of_fr(fr, ref, n_true):
         # ref is the (F, 2) re/im split (complex128 is not a TPU dtype)
         if kind == "log_afc":
-            r = jnp.log(jnp.abs(fr)) - 0.5 * jnp.log(_ref_abs2(ref))
+            r = jnp.log(jnp.abs(fr)) - jnp.log(_ref_abs(ref))
         else:
-            r = jnp.abs(fr) - jnp.sqrt(_ref_abs2(ref))
+            r = jnp.abs(fr) - _ref_abs(ref)
         live = jnp.arange(r.shape[0]) < n_true
         return jnp.where(live, r, 0.0)
 

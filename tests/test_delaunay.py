@@ -157,6 +157,53 @@ mesh Th = buildmesh(Bl(n) + Bb(5*n) + Br(n) + Bt(5*n));
     assert g.clamped_labels == (4,)
 
 
+def test_edp_fe_statements_warn_loudly(tmp_path):
+    """A user .edp containing varf/fespace/solve sections gets a
+    RuntimeWarning naming what the geometry interpreter skipped (the
+    reference executes the whole script via FreeFEM, FreeFemIO.py:247-334;
+    silence here would be a user trap)."""
+    import warnings as _warnings
+
+    from plate_inverse_problem_tpu.mesh.edp import warn_ignored_fe_statements
+
+    geo = """
+real Lx = 50e-3; real Ly = 20e-3;
+real xtest = 10e-3; real ytest = 0.0;
+border Bl(t=0., 1){x=0; y=Ly/2 - t*Ly; label=0;}
+border Bb(t=0., 1){x=Lx*t; y=-Ly/2; label=0;}
+border Br(t=0., 1){x=Lx; y=-Ly/2 + t*Ly; label=1;}
+border Bt(t=0., 1){x=(1-t)*Lx; y=Ly/2; label=0;}
+mesh Th = buildmesh(Bl(4) + Bb(10) + Br(4) + Bt(10));
+"""
+    fe = geo + """
+fespace Vh(Th, P2Morley);
+varf K(u, v) = int2d(Th)(dxx(u)*dxx(v)) + on(1, u=0);
+solve P(u, v) = int2d(Th)(u*v);
+"""
+    # pure geometry: no warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert warn_ignored_fe_statements(geo) == []
+
+    # FE statements: one warning naming each skipped statement kind
+    with pytest.warns(RuntimeWarning, match="fespace.*solve.*varf"):
+        found = warn_ignored_fe_statements(fe)
+    assert found == ["fespace", "solve", "varf"]
+
+    # commented-out statements do not trigger
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert warn_ignored_fe_statements(
+            geo + "// varf K(u, v) = ...;\n/* solve P; */\n") == []
+
+    # the Geometry .edp-loading path surfaces the same warning
+    fp = tmp_path / "fe.edp"
+    fp.write_text(fe)
+    with pytest.warns(RuntimeWarning, match="FE statements"):
+        g = pip.Geometry(str(fp), height=2e-3)
+    assert g.clamped_labels == (1,)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_GEO),
                     reason="reference checkout not available")
 def test_reference_edp_scripts_mesh_and_solve():

@@ -45,17 +45,25 @@ X = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
 f_xla = jax.jit(lambda bd, x: band_mv(bd, x, layout))
 f_pal = jax.jit(lambda bd, x: band_mv_pallas(bd, x, layout))
 
+# CHAINED timing: feed each output back as the next input (scaled to stay
+# finite).  Repeated identical executions are memoized somewhere in the
+# axon runtime (measured "0.03 ms" for a 759 MiB stream = 25 TB/s —
+# impossible), so every call must see distinct inputs and depend on the
+# previous one.
+ITERS = int(os.environ.get("ITERS", "10"))
+
 for name, f in (("xla ", f_xla), ("pallas", f_pal)):
     t0 = time.perf_counter()
     y = f(band, X); jax.block_until_ready(y)
     t_first = time.perf_counter() - t0
+    x_it = X
     t0 = time.perf_counter()
-    for _ in range(10):
-        y = f(band, X)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / 10
+    for _ in range(ITERS):
+        x_it = f(band, x_it) * 1e-3
+    jax.block_until_ready(x_it)
+    dt = (time.perf_counter() - t0) / ITERS
     gbps = layout.nb * layout.b * 3 * layout.b * 4 / dt / 1e9
-    print(f"{name}: first={t_first:.1f}s steady={dt*1e3:.2f} ms "
+    print(f"{name}: first={t_first:.1f}s chained={dt*1e3:.2f} ms/apply "
           f"({gbps:.0f} GB/s of band stream)", flush=True)
 
 ya = np.asarray(f_xla(band, X))

@@ -2069,7 +2069,7 @@ class Problem:
             rel_err2 = "Unknown"
             if getattr(self, "parameters", None) is not None:
                 params0 = np.array(self.parameters)
-                if arg0.ndim != 2:
+                if guess.ndim != 2:
                     rel_err1 = (np.array(x0_bds) * scaling_params - params0) / params0
                 rel_err2 = (np.array(result.x) - params0) / params0
 
@@ -2084,7 +2084,7 @@ class Problem:
                     f"Using compression algorithm {comp_alg} with "
                     f"{compression[1]} points.\n"
                 )
-            s_pa_bd = "parameters" if arg0.ndim == 1 else "bounds"
+            s_pa_bd = "parameters" if guess.ndim == 1 else "bounds"
             f0 = result.f_history[0] if len(result.f_history) else float("nan")
 
             rep_str = (

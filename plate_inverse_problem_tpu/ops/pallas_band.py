@@ -65,7 +65,10 @@ def _band_mv_pallas(band, xp, nb: int, b: int, interpret: bool = False):
             hi = jnp.asarray(nb - 1, dtype=q.dtype)
             lo = jnp.asarray(0, dtype=q.dtype)
             qq = jax.lax.max(jax.lax.min(q + shift, hi), lo)
-            return (0, qq)
+            # index maps must return ONE dtype: a Python 0 traces as an
+            # i64 const under global x64 and Mosaic rejects the mixed
+            # (i32, i64) func.return
+            return (jnp.zeros((), q.dtype), qq)
         return pl.BlockSpec((B, b), imap, memory_space=pltpu.VMEM)
 
     grid = (nb, nr)
@@ -73,12 +76,15 @@ def _band_mv_pallas(band, xp, nb: int, b: int, interpret: bool = False):
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rt, 3 * b), lambda q, r: (q, r, 0),
+            pl.BlockSpec((1, rt, 3 * b),
+                         lambda q, r: (q, r, jnp.zeros((), q.dtype)),
                          memory_space=pltpu.VMEM),
             x_spec(-1), x_spec(0), x_spec(+1),
         ],
-        out_specs=pl.BlockSpec((B, rt), lambda q, r: (0, q * nr + r),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (B, rt),
+            lambda q, r: (jnp.zeros((), q.dtype), q * nr + r),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nb * b), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

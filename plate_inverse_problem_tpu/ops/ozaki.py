@@ -1,0 +1,185 @@
+"""Exact-integer (Ozaki-style) limb decomposition of the f64 band apply.
+
+The mixed engine's hot loop needs f64-GRADE operator applications (Krylov
+iterates/residuals must resolve ~1e-13 of the operator's abs-sum — an f32
+apply floors the iteration, see ops/mixed.py).  XLA:TPU has no true f64
+dot: an f64 einsum lowers to a materialized elementwise product + reduce,
+so the band-tier apply streams a (B, nb, b, 3b) f64 product tensor through
+HBM — tens of GB per apply at the 100k tier, which is what made the 104k
+sweep run at 4 solves/s (SCALE.md round 4).
+
+This module replaces that with exact INTEGER arithmetic on the MXU:
+
+1. Each operator row is scaled by a power of two (exact) and peeled into
+   ``L`` radix-128 signed digits (int8, |d| <= 64) — a 7-bit-per-limb
+   fixed-point representation carrying 7L bits below the row's magnitude.
+2. The Krylov vector is peeled the same way per (lane, block) with its own
+   power-of-two scales.
+3. y = A x becomes L x L limb-pair GEMMs ``int8 x int8 -> int32``.  The
+   MXU's int32 accumulation is EXACT (products <= 2^12, contraction
+   length b <= 2^11 => sums < 2^23 << 2^31; verified on-chip,
+   .probes/int8_gemm.py), so the only approximation in the whole apply is
+   the 2^(-7L) limb-representation cutoff — ~2^-49 of the row/block
+   magnitude at L=7, BETTER than the runtime's emulated f64 (multiply
+   ~120 eps, .probes/f64_tpu.py).
+4. The int32 limb products are recombined in f64 with the power-of-two
+   scales — pure elementwise work at memory speed.
+
+Traffic per fused apply: the int8 limb tensors (L/8 the bytes of the f64
+band tensor each) plus the (L^2, B, n) int32 pair planes — no product
+tensor over the contraction axis, and every FLOP lands on the MXU's
+integer path.
+
+Counterpart of the reference's per-call CSC matvec (csc_matvec.h:31-66)
+at f64 grade; the TPU-native answer to "no f64 hardware dot exists".
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .band import BandLayout
+
+__all__ = ["OzakiBand", "build_ozaki_band", "ozaki_mv", "N_LIMBS"]
+
+N_LIMBS = 7          # radix-128 digits: 7L = 49 bits below each scale
+_RADIX = 128.0
+
+
+def _pow2_ceil(m):
+    """Smallest power of two >= m (elementwise, exact result by
+    construction); m == 0 maps to 1.0 so downstream divisions are safe.
+
+    log2 can be an ulp off near exact powers, so the candidate is
+    bracketed with explicit fix-ups rather than trusted.
+    """
+    e = jnp.floor(jnp.log2(jnp.maximum(m, 1e-300))) + 1.0
+    t = jnp.exp2(e)
+    t = jnp.where(t < m, t * 2.0, t)
+    t = jnp.where(t * 0.5 >= m, t * 0.5, t)
+    return jnp.where(m == 0.0, jnp.ones_like(t), t)
+
+
+def _peel_digits(u, n_limbs: int):
+    """Peel u in [-0.5, 0.5] into radix-128 signed digits (int8 stack).
+
+    value(digits) = sum_l d_l * 128^-(l+1) represents u to 2^(-7L-1).
+    Every step is exact in IEEE f64 (power-of-two multiply + Sterbenz
+    subtraction); on the axon device's sloppy f64 the residual drift is
+    bounded by a few eps per peel (pinned by tests/test_ozaki.py).
+    """
+    digits = []
+    r = u
+    for _ in range(n_limbs):
+        s = r * _RADIX
+        d = jnp.round(s)
+        r = s - d
+        digits.append(d.astype(jnp.int8))
+    return jnp.stack(digits)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class OzakiBand:
+    """Device-resident limb decomposition of a stack of band operators.
+
+    ``D``: (S, 3, L, nb, b, b) int8 — per operator, per block-diagonal
+    (sub/main/super), per limb; ``tau``: (S, nb, b) f64 power-of-two row
+    scales.  ``n``/``b``/``nb`` are the owning block-tridiagonal
+    layout's dimensions (BandLayout itself holds unhashable host index
+    arrays, so only the shape triple rides along as static metadata).
+
+    Registered as a pytree so instances pass straight through jit/scan
+    boundaries as runtime arguments — never closed over (CLAUDE.md:
+    closures over device arrays are fatal to the AOT compiler).
+    """
+    n: int = field(metadata=dict(static=True))
+    b: int = field(metadata=dict(static=True))
+    nb: int = field(metadata=dict(static=True))
+    n_limbs: int = field(metadata=dict(static=True))
+    D: jax.Array = field(repr=False)
+    tau: jax.Array = field(repr=False)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _band_to_limbs(band, nb: int, b: int, n_limbs: int):
+    """(S, nb, b, 3b) f64 band stack -> int8 limb tensor + row scales."""
+    m = jnp.max(jnp.abs(band), axis=-1)                # (S, nb, b)
+    tau = 2.0 * _pow2_ceil(m)                          # |band|/tau <= 0.5
+    u = band / tau[..., None]
+    D = _peel_digits(u, n_limbs)                       # (L, S, nb, b, 3b)
+    D = D.reshape(D.shape[:-1] + (3, b))
+    # (L, S, nb, b, 3, b) -> (S, 3, L, nb, b, b)
+    D = jnp.transpose(D, (1, 4, 0, 2, 3, 5))
+    return D, tau
+
+
+def build_ozaki_band(band_stack, layout: BandLayout,
+                     n_limbs: int = N_LIMBS) -> OzakiBand:
+    """Decompose a stack of f64 band tensors (S, nb, b, 3b) once per
+    parameter set.  Inputs come straight from ``flat_to_band`` on the
+    flat operator values; gradients never flow through limbs (the AD
+    matvec stays on the flat scatter — see ops/mixed.py)."""
+    band_stack = jax.lax.stop_gradient(band_stack).astype(jnp.float64)
+    D, tau = _band_to_limbs(band_stack, layout.nb, layout.b, n_limbs)
+    return OzakiBand(n=layout.n, b=layout.b, nb=layout.nb,
+                     n_limbs=n_limbs, D=D, tau=tau)
+
+
+def _z_to_limbs(zb, n_limbs: int):
+    """(B, nb, b) f64 padded blocks -> ((L, B, nb, b) int8, (B, nb) f64)."""
+    m = jnp.max(jnp.abs(zb), axis=-1)
+    tau = 2.0 * _pow2_ceil(m)
+    u = zb / tau[..., None]
+    return _peel_digits(u, n_limbs), tau
+
+
+def ozaki_mv(oz: OzakiBand, x):
+    """y = A_s x for every operator s in the stack: (..., n) -> (S, ..., n).
+
+    Matches ``jnp.stack([band_mv(A_s, x, layout) for s])`` to the limb
+    cutoff (~2^(-7L) of each row/block magnitude).  One set of z limbs is
+    shared by all operators and all three block diagonals; the limb-pair
+    contraction runs as one int8->int32 einsum per diagonal.
+    """
+    n, b, nb = oz.n, oz.b, oz.nb
+    L = oz.n_limbs
+    S = oz.D.shape[0]
+
+    lead = x.shape[:-1]
+    B = 1
+    for s in lead:
+        B *= s
+    xf = x.reshape((B, n)).astype(jnp.float64)
+    zb = jnp.pad(xf, ((0, 0), (0, nb * b - n))).reshape(B, nb, b)
+    Zl, tz = _z_to_limbs(zb, L)                        # (L,B,nb,b), (B,nb)
+
+    # zero-block padding on the block axis for the sub/super diagonals
+    Zp = jnp.pad(Zl, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    tzp = jnp.pad(tz, ((0, 0), (1, 1)), constant_values=1.0)
+
+    # product weight of limb pair (l, j): 128^-(l+1) * 128^-(j+1)
+    lw = _RADIX ** -(jnp.arange(1, L + 1, dtype=jnp.float64))
+    w = lw[:, None] * lw[None, :]                      # (L, L)
+
+    y = jnp.zeros((S, B, nb, b), jnp.float64)
+    for di in (0, 1, 2):                               # sub, main, super
+        Zs = Zp[:, :, di:di + nb]
+        tzs = tzp[:, di:di + nb]
+        # (S, L, nb, b, b) x (L, B, nb, b) -> (S, l, j, B, nb, b) int32;
+        # EXACT: |digits| <= 64, contraction length b <= 2048 keeps every
+        # accumulated sum below 2^12 * 2^11 = 2^23 << int32
+        O = jnp.einsum("slqic,jBqc->sljBqi", oz.D[:, di], Zs,
+                       preferred_element_type=jnp.int32)
+        # weight + reduce over the (l, j) pair axes as a fused elementwise
+        # chain (an f64 einsum would lower to the materialized emulated
+        # dot this module exists to avoid)
+        yd = (O.astype(jnp.float64)
+              * w[None, :, :, None, None, None]).sum(axis=(1, 2))
+        y = y + yd * tzs[None, :, :, None]
+    y = y * oz.tau[:, None]                            # (S, B, nb, b)
+    return y.reshape((S, B, nb * b))[..., :n].reshape((S,) + lead + (n,))

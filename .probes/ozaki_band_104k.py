@@ -25,7 +25,7 @@ from plate_inverse_problem_tpu.ops.ozaki import (  # noqa: E402
 
 REFINE = float(os.environ.get("REFINE", "9"))
 B = int(os.environ.get("B", "16"))
-L = int(os.environ.get("L", "7"))
+L = int(os.environ.get("L", "8"))
 K = int(os.environ.get("K", "8"))
 
 acc = pip.Accelerometer("AP1030")
@@ -86,7 +86,7 @@ g_oz = jax.jit(lambda o, x0_: jax.lax.scan(
     x0_, None, length=K)[0].sum())
 g_nul = jax.jit(lambda s, x0_: x0_.sum() + s[0, 0, 0, 0])
 
-for name, g, arg in (("null", g_nul, stack[None, :, :1, :1, :1]),
+for name, g, arg in (("null", g_nul, jnp.asarray(np.zeros((1, 2, 1, 1, 1)))),
                      ("f64 fused", g_f64, stack), ("ozaki", g_oz, oz)):
     try:
         s = float(g(arg, X))

@@ -259,16 +259,47 @@ def main():
     ts = acc.transverse_sensitivity
     fr_np = np.asarray(fr)
     idxs = [3, int(np.argmax(fr_np)), N_F // 2, N_F - 1]
-    rel = 0.0
+    oracle = {}
     for i in idxs:
         om = 2 * np.pi * freqs[i]
         u_full = spla.splu((Kcsc - om**2 * Mcsc).tocsc()).solve(bK - om**2 * fIn)
         uu = (cu - eff * cwx) @ u_full + (ou - eff * owx)
         vv = (cv - eff * cwy) @ u_full + (ov - eff * owy)
         ww = cw @ u_full + ow
-        ref_i = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
-        rel = max(rel, abs(fr_np[i] - ref_i) / abs(ref_i))
+        oracle[i] = np.sqrt((abs(uu) * ts) ** 2 + (abs(vv) * ts) ** 2 + abs(ww) ** 2)
+    rel = max(abs(fr_np[i] - oracle[i]) / abs(oracle[i]) for i in idxs)
     log(f"{p._engine()} engine worst rel err vs f64 splu (incl. peak): {rel:.2e}")
+
+    # On endpoint-outage rounds the fallback benches whatever engine the CPU
+    # default resolves to (modal at this size) — which exercises none of the
+    # chip code path.  Add a forced mixed-engine row so the TPU engine's
+    # numerics + throughput still get a regression signal on CPU-only rounds.
+    cpu_mixed = None
+    if backend != "tpu" and p._engine() != "mixed":
+        try:
+            p_m = pip.Problem(geom, mat, acc, engine="mixed")
+            fr_m_fn = p_m.getFRFunction()
+            t0 = time.perf_counter()
+            fr_m = fr_m_fn(fj, th)
+            jax.block_until_ready(fr_m)
+            first_m = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(2):
+                fr_m = fr_m_fn(fj, th)
+            jax.block_until_ready(fr_m)
+            sweep_m = (time.perf_counter() - t0) / 2
+            fr_m_np = np.asarray(fr_m)
+            rel_m = max(abs(fr_m_np[i] - oracle[i]) / abs(oracle[i])
+                        for i in idxs)
+            cpu_mixed = {
+                "solves_per_sec": round(N_F / sweep_m, 2),
+                "first_call_s": round(first_m, 2),
+                "worst_rel_err_vs_f64_splu": float(rel_m),
+            }
+            log(f"cpu mixed-engine row: {N_F / sweep_m:.1f} solves/s, "
+                f"worst rel err {rel_m:.2e}")
+        except Exception as err:
+            log(f"cpu mixed-engine row skipped ({err})")
 
     out = {
         "metric": "FRF solves/sec/chip (512-freq sweep, sh_i plate, "

@@ -856,6 +856,17 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
         # stall at 20k+ DOF)
         basis_f32 = mg is None
     if k_cycle is None:
+        # 8-iteration cycles at every tier.  Chip A/B (.probes/kcycle_ab,
+        # r5): shorter default cycles LOSE — the outer while_loop exits on
+        # the batch's SLOWEST lane, and a 512-frequency sweep always has a
+        # resonance lane spending the whole budget, so k_cycle=4 at
+        # n_refine=16 just doubles the restart count (true residual + f64
+        # re-anchor each) for the same iterations: 1785 solves/s vs 3554
+        # at k_cycle=8 on the bench tier.  The adaptive lever that DOES
+        # work is the total budget: n_refine=8/k_cycle=4 matches the
+        # n_refine=16 accuracy floor at +2.4% (see ROADMAP "performance
+        # headroom" — re-measured r5, the round-2 "+20%" predates the
+        # early-exit restart loop).
         k_cycle = 8
     k_cycle = max(1, min(int(k_cycle), int(n_refine)))
     n_cycles = -(-int(n_refine) // k_cycle)

@@ -11,19 +11,29 @@ sweep run at 4 solves/s (SCALE.md round 4).
 This module replaces that with exact INTEGER arithmetic on the MXU:
 
 1. Each operator row is scaled by a power of two (exact) and peeled into
-   ``L`` radix-128 signed digits (int8, |d| <= 64) — a 7-bit-per-limb
-   fixed-point representation carrying 7L bits below the row's magnitude.
+   ``L`` radix-64 signed digits (int8, |d| <= 32) — a 6-bit-per-limb
+   fixed-point representation carrying 6L bits below the row's magnitude.
 2. The Krylov vector is peeled the same way per (lane, block) with its own
    power-of-two scales.
 3. y = A x becomes L x L limb-pair GEMMs ``int8 x int8 -> int32``.  The
-   MXU's int32 accumulation is EXACT (products <= 2^12, contraction
-   length b <= 2^11 => sums < 2^23 << 2^31; verified on-chip,
+   accumulation is EXACT (products <= 2^10, contraction length b <= 2^11
+   => |sums| < 2^21; int8->int32 verified exact on-chip,
    .probes/int8_gemm.py), so the only approximation in the whole apply is
-   the 2^(-7L) limb-representation cutoff — ~2^-49 of the row/block
-   magnitude at L=7, BETTER than the runtime's emulated f64 (multiply
+   the 2^(-6L) limb-representation cutoff — ~2^-48 of the row/block
+   magnitude at L=8, BETTER than the runtime's emulated f64 (multiply
    ~120 eps, .probes/f64_tpu.py).
 4. The int32 limb products are recombined in f64 with the power-of-two
    scales — pure elementwise work at memory speed.
+
+Radix 64 (not 128) is deliberate armor against the axon runtime's sloppy
+f64 (CLAUDE.md): the digit peel is SELF-CORRECTING for any per-step
+rounding error as long as no digit overflows int8 — the next residual
+absorbs it exactly.  With radix 64 a device ``round`` that lands +-1 off
+drifts the residual to at most ~1.5, keeping digits under |96| < 127;
+radix-128 digits (<= 64) would wrap int8 on the same drift and poison
+whole rows.  And 2^21-bounded sums stay exact even if a lowering ever
+routes the integer GEMM through f32 accumulation (integers < 2^24 are
+exact in f32) — robustness on both axes for one extra limb of traffic.
 
 Traffic per fused apply: the int8 limb tensors (L/8 the bytes of the f64
 band tensor each) plus the (L^2, B, n) int32 pair planes — no product
@@ -46,8 +56,8 @@ from .band import BandLayout
 
 __all__ = ["OzakiBand", "build_ozaki_band", "ozaki_mv", "N_LIMBS"]
 
-N_LIMBS = 7          # radix-128 digits: 7L = 49 bits below each scale
-_RADIX = 128.0
+N_LIMBS = 8          # radix-64 digits: 6L = 48 bits below each scale
+_RADIX = 64.0
 
 
 def _pow2_ceil(m):
@@ -65,12 +75,13 @@ def _pow2_ceil(m):
 
 
 def _peel_digits(u, n_limbs: int):
-    """Peel u in [-0.5, 0.5] into radix-128 signed digits (int8 stack).
+    """Peel u in [-0.5, 0.5] into radix-64 signed digits (int8 stack).
 
-    value(digits) = sum_l d_l * 128^-(l+1) represents u to 2^(-7L-1).
+    value(digits) = sum_l d_l * 64^-(l+1) represents u to 2^(-6L-1).
     Every step is exact in IEEE f64 (power-of-two multiply + Sterbenz
-    subtraction); on the axon device's sloppy f64 the residual drift is
-    bounded by a few eps per peel (pinned by tests/test_ozaki.py).
+    subtraction); on the axon device's sloppy f64 any bounded per-step
+    error is absorbed by the next residual (see module docstring) —
+    pinned by tests/test_ozaki.py.
     """
     digits = []
     r = u
@@ -142,7 +153,7 @@ def ozaki_mv(oz: OzakiBand, x):
     """y = A_s x for every operator s in the stack: (..., n) -> (S, ..., n).
 
     Matches ``jnp.stack([band_mv(A_s, x, layout) for s])`` to the limb
-    cutoff (~2^(-7L) of each row/block magnitude).  One set of z limbs is
+    cutoff (~2^(-6L) of each row/block magnitude).  One set of z limbs is
     shared by all operators and all three block diagonals; the limb-pair
     contraction runs as one int8->int32 einsum per diagonal.
     """
@@ -162,7 +173,7 @@ def ozaki_mv(oz: OzakiBand, x):
     Zp = jnp.pad(Zl, ((0, 0), (0, 0), (1, 1), (0, 0)))
     tzp = jnp.pad(tz, ((0, 0), (1, 1)), constant_values=1.0)
 
-    # product weight of limb pair (l, j): 128^-(l+1) * 128^-(j+1)
+    # product weight of limb pair (l, j): 64^-(l+1) * 64^-(j+1)
     lw = _RADIX ** -(jnp.arange(1, L + 1, dtype=jnp.float64))
     w = lw[:, None] * lw[None, :]                      # (L, L)
 
@@ -171,8 +182,9 @@ def ozaki_mv(oz: OzakiBand, x):
         Zs = Zp[:, :, di:di + nb]
         tzs = tzp[:, di:di + nb]
         # (S, L, nb, b, b) x (L, B, nb, b) -> (S, l, j, B, nb, b) int32;
-        # EXACT: |digits| <= 64, contraction length b <= 2048 keeps every
-        # accumulated sum below 2^12 * 2^11 = 2^23 << int32
+        # EXACT: |digits| <= 32, contraction length b <= 2048 keeps every
+        # accumulated sum below 2^10 * 2^11 = 2^21 — exact in int32 AND
+        # under a hypothetical f32-accumulating lowering
         O = jnp.einsum("slqic,jBqc->sljBqi", oz.D[:, di], Zs,
                        preferred_element_type=jnp.int32)
         # weight + reduce over the (l, j) pair axes as a fused elementwise

@@ -31,10 +31,10 @@ def test_peel_digits_reconstructs():
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.uniform(-0.5, 0.5, size=4096))
     D = np.asarray(_peel_digits(u, N_LIMBS), dtype=np.float64)
-    assert np.abs(D).max() <= 64
-    w = 128.0 ** -(np.arange(1, N_LIMBS + 1))
+    assert np.abs(D).max() <= 32
+    w = 64.0 ** -(np.arange(1, N_LIMBS + 1))
     rec = np.einsum("l,ln->n", w, D)
-    assert np.abs(rec - np.asarray(u)).max() < 2.0 ** (-7 * N_LIMBS)
+    assert np.abs(rec - np.asarray(u)).max() < 2.0 ** (-6 * N_LIMBS)
 
 
 def _random_band_problem(rng, n=700, bw=37, nnz=9000, spread=1e8):

@@ -77,14 +77,18 @@ for name, y in (("f64 ", y64), ("ozaki", yoz)):
           flush=True)
 
 # ---- readback-forced timing --------------------------------------------
+def _nrm(c):
+    return c / jnp.max(jnp.abs(c))
+
+
 g_f64 = jax.jit(lambda s, x0_: jax.lax.scan(
-    lambda c, _: ((band_mv(s[0], c, layout)
-                   + band_mv(s[1], c, layout)) * 1e-4, ()),
+    lambda c, _: (_nrm(band_mv(s[0], c, layout)
+                       + band_mv(s[1], c, layout)), ()),
     x0_, None, length=K)[0].sum())
 g_oz = jax.jit(lambda o, x0_: jax.lax.scan(
-    lambda c, _: (ozaki_mv(o, c).sum(0) * 1e-4, ()),
+    lambda c, _: (_nrm(ozaki_mv(o, c).sum(0)), ()),
     x0_, None, length=K)[0].sum())
-g_nul = jax.jit(lambda s, x0_: x0_.sum() + s[0, 0, 0, 0])
+g_nul = jax.jit(lambda s, x0_: x0_.sum() + s.sum())
 
 for name, g, arg in (("null", g_nul, jnp.asarray(np.zeros((1, 2, 1, 1, 1)))),
                      ("f64 fused", g_f64, stack), ("ozaki", g_oz, oz)):

@@ -554,6 +554,13 @@ class Problem:
                                         # LOBPCG reusing the complement
                                         # preconditioner — factorization-
                                         # free, ops/lobpcg.py)
+        ozaki: bool | str = "auto",     # band-tier exact-integer limb
+                                        # apply (ops/ozaki.py): the Krylov
+                                        # operator runs as int8 MXU GEMMs
+                                        # instead of the emulated f64 band
+                                        # GEMM.  'auto' = on for
+                                        # accelerator backends, off on CPU
+                                        # (whose f64 GEMM is a real dot)
     ):
         if (geometry, accel, material, spath) == (None,) * 4:
             raise ValueError("Cannot create a Problem object without arguments.")
@@ -586,6 +593,11 @@ class Problem:
                 f"Unknown basis {basis!r}; valid options: 'arpack', 'lobpcg'."
             )
         self.basis = basis
+        if ozaki not in ("auto", True, False):
+            raise ValueError(
+                f"Unknown ozaki {ozaki!r}; valid options: 'auto', True, "
+                "False.")
+        self.ozaki = ozaki
         self.precision = default_precision()
 
         self.accelerometer = accel
@@ -1047,9 +1059,16 @@ class Problem:
             kw = {}
             if "band_lin" in od and self._band_layout is not None:
                 # exact f64 operator application through the RCM block-
-                # tridiagonal layout (ops/mixed.py band apply)
+                # tridiagonal layout (ops/mixed.py band apply); on
+                # accelerator backends the apply runs as exact-integer
+                # int8 limb GEMMs (ops/ozaki.py) instead of the emulated
+                # f64 band GEMM — 6.8x the apply throughput on chip
+                # (.probes/ozaki_band_104k.py)
+                use_oz = (self.ozaki if isinstance(self.ozaki, bool)
+                          else jax.default_backend() != "cpu")
                 kw["band"] = {"layout": self._band_layout,
-                              "lin": od["band_lin"]}
+                              "lin": od["band_lin"],
+                              "ozaki": use_oz}
             if "mg_band0" in od:
                 return kw | {
                     "mg": {"tg_band0": od["mg_band0"],

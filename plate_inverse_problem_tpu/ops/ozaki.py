@@ -149,17 +149,21 @@ def _z_to_limbs(zb, n_limbs: int):
     return _peel_digits(u, n_limbs), tau
 
 
-def ozaki_mv(oz: OzakiBand, x):
-    """y = A_s x for every operator s in the stack: (..., n) -> (S, ..., n).
+def ozaki_mv(oz: OzakiBand, x, s0: int = 0, s1: int | None = None):
+    """y = A_s x for operators s0:s1 of the stack: (..., n) -> (S, ..., n).
 
     Matches ``jnp.stack([band_mv(A_s, x, layout) for s])`` to the limb
     cutoff (~2^(-6L) of each row/block magnitude).  One set of z limbs is
     shared by all operators and all three block diagonals; the limb-pair
-    contraction runs as one int8->int32 einsum per diagonal.
+    contraction runs as one int8->int32 einsum per diagonal.  ``s0``/
+    ``s1`` select a contiguous operator sub-stack (static Python slice —
+    lets one decomposition serve K-only / K,M / K,M,Ki call sites).
     """
     n, b, nb = oz.n, oz.b, oz.nb
     L = oz.n_limbs
-    S = oz.D.shape[0]
+    D = oz.D[s0:s1]
+    tau = oz.tau[s0:s1]
+    S = D.shape[0]
 
     lead = x.shape[:-1]
     B = 1
@@ -185,13 +189,19 @@ def ozaki_mv(oz: OzakiBand, x):
         # EXACT: |digits| <= 32, contraction length b <= 2048 keeps every
         # accumulated sum below 2^10 * 2^11 = 2^21 — exact in int32 AND
         # under a hypothetical f32-accumulating lowering
-        O = jnp.einsum("slqic,jBqc->sljBqi", oz.D[:, di], Zs,
+        O = jnp.einsum("slqic,jBqc->sljBqi", D[:, di], Zs,
                        preferred_element_type=jnp.int32)
-        # weight + reduce over the (l, j) pair axes as a fused elementwise
-        # chain (an f64 einsum would lower to the materialized emulated
-        # dot this module exists to avoid)
+        # weight + reduce over the (l, j) pair axes, one fused pass over
+        # O.  Summation ORDER is uncritical even at near-null (resonance-
+        # iterate) vectors: the catastrophic row-sum cancellation already
+        # happened inside the EXACT integer GEMM, so every weighted pair
+        # term is at most ~64^-2 of the row abs-scale (the (0,0) term is
+        # the truncated-digit product, cancelled to ~64^-1 already) and
+        # the f64 reduce rounds at eps of THAT — measured 2x faster than
+        # an ordered anti-diagonal Horner walk at identical accuracy
+        # (.probes/ozaki_band_104k.py, 21k tier).
         yd = (O.astype(jnp.float64)
               * w[None, :, :, None, None, None]).sum(axis=(1, 2))
         y = y + yd * tzs[None, :, :, None]
-    y = y * oz.tau[:, None]                            # (S, B, nb, b)
+    y = y * tau[:, None]                               # (S, B, nb, b)
     return y.reshape((S, B, nb * b))[..., :n].reshape((S,) + lead + (n,))

@@ -126,3 +126,28 @@ def test_ozaki_real_operator_small_problem():
     for g, r in ((got[0], refK), (got[1], refM)):
         err = float(jnp.max(jnp.abs(g - r)) / jnp.max(jnp.abs(r)))
         assert err < 1e-12, err
+
+
+def test_ozaki_mixed_engine_end_to_end():
+    """Problem(ozaki=True) through the public API vs the modal engine:
+    the integrated band-tier limb apply must deliver engine-agreement
+    accuracy, and the loss gradient must stay finite (AD rides the flat
+    scatter, not the limbs)."""
+    import plate_inverse_problem_tpu as pip
+
+    acc = pip.Accelerometer("AP1030")
+    mat = pip.get_material(7920.0, "isotropic", E=200e9, G=75e9, beta=.003)
+    geom = pip.Geometry("symm", acc,
+                        pip.GeometryParams(100e-3, 20e-3, 2e-3, 10e-3, None),
+                        ny=2)
+    f = np.linspace(60, 400, 5)
+    pm = pip.Problem(geom, mat, acc, engine="modal")
+    ym = pm.getFRFunction()(f, np.asarray(pm.parameters))
+    p = pip.Problem(geom, mat, acc, engine="mixed", operator_layout="band",
+                    ozaki=True)
+    y = p.getFRFunction()(f, np.asarray(p.parameters))
+    rel = float(np.max(np.abs(y - ym) / np.abs(ym)))
+    assert rel < 1e-5, rel
+    g = np.asarray(p.getLossFunction(f, ym, "MSE_LOG_AFC").grad(
+        np.asarray(p.parameters) * 1.02))
+    assert np.all(np.isfinite(g))

@@ -34,7 +34,7 @@ geom = pip.Geometry('sh_i', acc,
 mat = pip.get_material(7920.0, 'isotropic', E=200e9, G=75e9, beta=.003)
 
 t0 = time.perf_counter()
-p = pip.Problem(geom, mat, acc)
+p = pip.Problem(geom, mat, acc, ozaki=(os.environ.get("PIP_OZAKI_OFF") != "1" and "auto" or False))
 rec["ctor_s"] = round(time.perf_counter() - t0, 1)
 rec["n_free"] = int(p.n_free)
 rec["nnz"] = int(p.op.pattern.nnz)

@@ -766,9 +766,13 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
             # grade accuracy (the cancellations happen in exact ints)
             from .ozaki import build_ozaki_band, ozaki_mv as _oz_mv
 
+            import os as _os
+
+            _oz_limbs = int(_os.environ.get("PIP_OZAKI_LIMBS", "0")) or None
             _ops64 = [Kr64, Ms64] if ki_proportional else [Kr64, Ms64, Ki64]
             _oz = build_ozaki_band(
-                jnp.stack([_to_band(v) for v in _ops64]), _lay)
+                jnp.stack([_to_band(v) for v in _ops64]), _lay,
+                **({"n_limbs": _oz_limbs} if _oz_limbs else {}))
 
             def K_mv(x):
                 return _oz_mv(_oz, x, 0, 1)[0]
@@ -1151,7 +1155,9 @@ def mixed_sweep(K_re, K_im, M_flat, B_re, B_im, omegas, rows, cols, n: int,
                 out, _ = jax.lax.scan(step, out0, xs)
                 return out
 
-            if band is not None and band.get("ozaki"):
+            import os as _os
+            if (band is not None and band.get("ozaki")
+                    and _os.environ.get("PIP_OZAKI_RES", "1") != "0"):
                 # exact-integer limb apply: K u and om^2 M u are each
                 # exact to the limb cutoff (the row-sum cancellations
                 # happen in int32, not f64), so the combine-LAST A_apply

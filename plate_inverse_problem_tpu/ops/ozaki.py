@@ -116,17 +116,49 @@ class OzakiBand:
     tau: jax.Array = field(repr=False)
 
 
+def _peel_chunk(bc, b: int, n_limbs: int):
+    """(S, cb, b, 3b) f64 chunk -> ((S, 3, L, cb, b, b) int8, (S, cb, b))."""
+    m = jnp.max(jnp.abs(bc), axis=-1)                  # (S, cb, b)
+    tau = 2.0 * _pow2_ceil(m)                          # |band|/tau <= 0.5
+    u = bc / tau[..., None]
+    D = _peel_digits(u, n_limbs)                       # (L, S, cb, b, 3b)
+    D = D.reshape(D.shape[:-1] + (3, b))
+    # (L, S, cb, b, 3, b) -> (S, 3, L, cb, b, b)
+    D = jnp.transpose(D, (1, 4, 0, 2, 3, 5))
+    return D, tau
+
+
+# one-shot peel below this f64 band-tensor size; above it the peel's
+# ~(2 + L) live f64 copies OOM the chip (measured: 17 GB of HLO temps at
+# the 104k tier, S=2, nb=162, b=640 — a 3.2 GB band), so large tensors
+# stream block-chunks through a fori_loop with in-place output updates
+_ONESHOT_BYTES = 1 << 28
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _band_to_limbs(band, nb: int, b: int, n_limbs: int):
     """(S, nb, b, 3b) f64 band stack -> int8 limb tensor + row scales."""
-    m = jnp.max(jnp.abs(band), axis=-1)                # (S, nb, b)
-    tau = 2.0 * _pow2_ceil(m)                          # |band|/tau <= 0.5
-    u = band / tau[..., None]
-    D = _peel_digits(u, n_limbs)                       # (L, S, nb, b, 3b)
-    D = D.reshape(D.shape[:-1] + (3, b))
-    # (L, S, nb, b, 3, b) -> (S, 3, L, nb, b, b)
-    D = jnp.transpose(D, (1, 4, 0, 2, 3, 5))
-    return D, tau
+    S = band.shape[0]
+    if band.size * 8 <= _ONESHOT_BYTES:
+        return _peel_chunk(band, b, n_limbs)
+    # chunk size: largest divisor of nb holding the per-chunk f64 input
+    # under ~256 MB (divisor => no pad copy of the 3+ GB input tensor)
+    blk_bytes = S * b * 3 * b * 8
+    cap = max(1, _ONESHOT_BYTES // (2 * blk_bytes))
+    cb = max(d for d in range(1, min(nb, cap) + 1) if nb % d == 0)
+    nc = nb // cb
+    D0 = jnp.zeros((S, 3, n_limbs, nb, b, b), jnp.int8)
+    t0 = jnp.zeros((S, nb, b), band.dtype)
+
+    def body(i, carry):
+        D, tau = carry
+        bc = jax.lax.dynamic_slice_in_dim(band, i * cb, cb, axis=1)
+        Dc, tc = _peel_chunk(bc, b, n_limbs)
+        D = jax.lax.dynamic_update_slice_in_dim(D, Dc, i * cb, axis=3)
+        tau = jax.lax.dynamic_update_slice_in_dim(tau, tc, i * cb, axis=1)
+        return D, tau
+
+    return jax.lax.fori_loop(0, nc, body, (D0, t0))
 
 
 def build_ozaki_band(band_stack, layout: BandLayout,

@@ -45,8 +45,11 @@ freqs = np.linspace(40, 600, F)
 fn = p.getFRFunction()
 th = jnp.asarray(np.asarray(p.parameters), jnp.float64)
 fj = jnp.asarray(freqs)
-t0 = time.perf_counter(); fr = fn(fj, th); jax.block_until_ready(fr)
-t1 = time.perf_counter(); fr = fn(fj, th); jax.block_until_ready(fr)
+# block_until_ready returns EARLY on the axon runtime (CLAUDE.md) — a
+# segmented sweep dispatches all device calls in ~0 s.  Force a host
+# readback of the full result so each timing covers real execution.
+t0 = time.perf_counter(); fr = fn(fj, th); _ = np.asarray(fr)
+t1 = time.perf_counter(); fr = fn(fj, th); _ = np.asarray(fr)
 t2 = time.perf_counter()
 rec["sweep_first_s"] = round(t1 - t0, 1)
 rec["sweep_steady_s"] = round(t2 - t1, 2)
@@ -148,10 +151,11 @@ if DO_GN:
     rec["jac_mode"] = resfn.jac_mode
     th2 = th * jnp.asarray([1.02, 1.01, 1.1])
     try:
+        # forced host readbacks — see the sweep-timing note above
         t0 = time.perf_counter()
-        r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
+        r, J = resfn.value_and_jac(th2); _ = (np.asarray(r), np.asarray(J))
         t1 = time.perf_counter()
-        r, J = resfn.value_and_jac(th2); jax.block_until_ready(J)
+        r, J = resfn.value_and_jac(th2); _ = (np.asarray(r), np.asarray(J))
         t2 = time.perf_counter()
         rec["gn_first_s"] = round(t1 - t0, 1)
         rec["gn_steady_s"] = round(t2 - t1, 2)
